@@ -1,0 +1,367 @@
+"""Linear-operator abstraction (capability C2, SURVEY.md §2.1).
+
+The reference lets ``A`` be a dense matrix, a ``(A(x), At(y))`` closure
+pair, or nothing (identity).  Here every operator is a JAX **pytree** whose
+leaves are its parameter arrays, so an operator flows through ``jax.jit``,
+``shard_map``, ``grad`` and sharding annotations like any other data — the
+TPU-native analog of the reference's duck-typed operator wrapper.
+
+Provided operators:
+
+  * ``DenseOp``       — explicit (possibly complex) matrix; the hot path
+                        (MXU matmuls; row-shardable over a device mesh)
+  * ``IdentityOp``    — default when a problem has no explicit A
+  * ``FunctionOp``    — arbitrary (fwd, adj) closure pair (static aux data)
+  * ``TVGrad2D`` / ``TVDiv2D`` — 2-D forward-difference stencil and its
+                        adjoint, used by total-variation denoising; pure
+                        XLA pad/slice compositions (no materialized matrix)
+  * ``MaskedFourierOp`` — subsampled FFT measurement operator (phase
+                        retrieval style), unitary-scaled
+  * ``DiagonalOp``    — elementwise scaling
+  * ``ScaledOp``      — scalar · op
+  * ``ComposeOp``     — op2 ∘ op1
+  * ``StackedOp``     — vertical stack [op1; op2; ...]
+
+All adjoints are *conjugate* transposes so complex problems (phase
+retrieval) are handled exactly; ``check_adjoint`` verifies
+⟨Ax, y⟩ = ⟨x, Aᴴy⟩ on random vectors, the reference's built-in fixture
+(arXiv:1501.04979 §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "LinearOp", "DenseOp", "IdentityOp", "FunctionOp", "TVGrad2D",
+    "TVDiv2D", "MaskedFourierOp", "DiagonalOp", "ScaledOp", "ComposeOp",
+    "StackedOp", "as_linear_op", "check_adjoint", "AdjointOp",
+]
+
+
+class LinearOp:
+    """Abstract linear operator: ``y = op(x)``, adjoint ``op.H(y)``."""
+
+    def __call__(self, x):
+        raise NotImplementedError
+
+    def rmatvec(self, y):
+        """Apply the conjugate-transpose (adjoint) operator."""
+        raise NotImplementedError
+
+    @property
+    def H(self) -> "LinearOp":
+        """The adjoint as a first-class operator."""
+        return AdjointOp(self)
+
+    # pytree plumbing shared by parameter-free operators
+    def tree_flatten(self):
+        return (), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux, children
+        return cls()
+
+
+@jax.tree_util.register_pytree_node_class
+class AdjointOp(LinearOp):
+    def __init__(self, base: LinearOp):
+        self.base = base
+
+    def __call__(self, x):
+        return self.base.rmatvec(x)
+
+    def rmatvec(self, y):
+        return self.base(y)
+
+    @property
+    def H(self):
+        return self.base
+
+    def tree_flatten(self):
+        return (self.base,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOp(LinearOp):
+    """Explicit dense matrix A ∈ 𝔽^{m×n}; matvec/rmatvec hit the MXU.
+
+    The matrix is stored once; row-sharding it over a mesh axis makes the
+    forward matvec local and the adjoint matvec an XLA ``psum`` — the
+    data-parallel layout of SURVEY.md §2.3.
+    """
+
+    def __init__(self, A):
+        self.A = A
+
+    def __call__(self, x):
+        return self.A @ x
+
+    def rmatvec(self, y):
+        return self.A.conj().T @ y
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    def tree_flatten(self):
+        return (self.A,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class IdentityOp(LinearOp):
+    def __call__(self, x):
+        return x
+
+    def rmatvec(self, y):
+        return y
+
+
+@jax.tree_util.register_pytree_node_class
+class FunctionOp(LinearOp):
+    """Arbitrary (forward, adjoint) closure pair — the reference's
+    function-operator mode.  The callables are static (trace-time) aux
+    data; any arrays they close over are baked into the jit trace."""
+
+    def __init__(self, fwd: Callable, adj: Callable):
+        self.fwd = fwd
+        self.adj = adj
+
+    def __call__(self, x):
+        return self.fwd(x)
+
+    def rmatvec(self, y):
+        return self.adj(y)
+
+    def tree_flatten(self):
+        return (), (self.fwd, self.adj)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(*aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class TVGrad2D(LinearOp):
+    """2-D discrete gradient (forward differences, Neumann boundary).
+
+    (H, W) → (2, H, W): channel 0 vertical diffs, channel 1 horizontal;
+    last row/col of each channel zero.  Matches the oracle stencil
+    ``reference_oracle.generators.tv_grad_2d`` exactly.  Pure XLA
+    pad/slice — fuses into the surrounding elementwise graph.
+    """
+
+    def __call__(self, x):
+        dv = jnp.concatenate([x[1:, :] - x[:-1, :],
+                              jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+        dh = jnp.concatenate([x[:, 1:] - x[:, :-1],
+                              jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+        return jnp.stack([dv, dh])
+
+    def rmatvec(self, p):
+        return TVDiv2D()(p)
+
+
+@jax.tree_util.register_pytree_node_class
+class TVDiv2D(LinearOp):
+    """Adjoint of ``TVGrad2D``: (2, H, W) → (H, W)  (equals −divergence).
+
+    Matches ``reference_oracle.generators.tv_div_2d``.
+    """
+
+    def __call__(self, p):
+        pv, ph = p[0], p[1]
+        zrow = jnp.zeros((1, pv.shape[1]), p.dtype)
+        zcol = jnp.zeros((ph.shape[0], 1), p.dtype)
+        # adjoint of vertical forward difference
+        out = (jnp.concatenate([zrow, pv[:-1, :]], axis=0)
+               - jnp.concatenate([pv[:-1, :], zrow], axis=0))
+        # adjoint of horizontal forward difference
+        out = out + (jnp.concatenate([zcol, ph[:, :-1]], axis=1)
+                     - jnp.concatenate([ph[:, :-1], zcol], axis=1))
+        return out
+
+    def rmatvec(self, y):
+        return TVGrad2D()(y)
+
+
+@jax.tree_util.register_pytree_node_class
+class MaskedFourierOp(LinearOp):
+    """Subsampled unitary FFT: ``y = mask ⊙ FFT(x)/√n`` on the flat signal.
+
+    ``mask`` is a {0,1} (or complex modulation) array of the same length as
+    the signal.  Adjoint is exact: ``x = IFFT(mask* ⊙ y)·√n / n · n`` — we
+    use the unitary normalization so the adjoint is the conjugate map.
+    Coded-diffraction phase retrieval uses a stack of these via StackedOp.
+    """
+
+    def __init__(self, mask):
+        self.mask = mask
+
+    def __call__(self, x):
+        return self.mask * jnp.fft.fft(x, norm="ortho")
+
+    def rmatvec(self, y):
+        return jnp.fft.ifft(jnp.conj(self.mask) * y, norm="ortho")
+
+    def tree_flatten(self):
+        return (self.mask,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class DiagonalOp(LinearOp):
+    def __init__(self, d):
+        self.d = d
+
+    def __call__(self, x):
+        return self.d * x
+
+    def rmatvec(self, y):
+        return jnp.conj(self.d) * y
+
+    def tree_flatten(self):
+        return (self.d,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class ScaledOp(LinearOp):
+    """c · op with real scalar c (kept real so adjoint is c · opᴴ)."""
+
+    def __init__(self, c: float, op: LinearOp):
+        self.c = c
+        self.op = op
+
+    def __call__(self, x):
+        return self.c * self.op(x)
+
+    def rmatvec(self, y):
+        return self.c * self.op.rmatvec(y)
+
+    def tree_flatten(self):
+        return (self.op,), (self.c,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class ComposeOp(LinearOp):
+    """outer ∘ inner:  x ↦ outer(inner(x))."""
+
+    def __init__(self, outer: LinearOp, inner: LinearOp):
+        self.outer = outer
+        self.inner = inner
+
+    def __call__(self, x):
+        return self.outer(self.inner(x))
+
+    def rmatvec(self, y):
+        return self.inner.rmatvec(self.outer.rmatvec(y))
+
+    def tree_flatten(self):
+        return (self.outer, self.inner), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class StackedOp(LinearOp):
+    """Vertical stack: x ↦ [op₁x; op₂x; …] along a new leading axis.
+
+    All member outputs must share a shape; the adjoint sums the member
+    adjoints.  Used e.g. for coded-diffraction phase retrieval (stack of
+    masked FFTs).
+    """
+
+    def __init__(self, ops: Sequence[LinearOp]):
+        self.ops = tuple(ops)
+
+    def __call__(self, x):
+        return jnp.stack([op(x) for op in self.ops])
+
+    def rmatvec(self, y):
+        out = self.ops[0].rmatvec(y[0])
+        for i, op in enumerate(self.ops[1:], start=1):
+            out = out + op.rmatvec(y[i])
+        return out
+
+    def tree_flatten(self):
+        return self.ops, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+
+def as_linear_op(A: Any, At: Any = None) -> LinearOp:
+    """Normalize the reference's accepted operator forms into a LinearOp:
+    ndarray → DenseOp, None → IdentityOp, callable pair → FunctionOp,
+    LinearOp → itself.  (Reference capability: matrix OR function pair OR
+    implicit identity; SURVEY.md §2.1 C2.)
+    """
+    if A is None:
+        return IdentityOp()
+    if isinstance(A, LinearOp):
+        return A
+    if isinstance(A, (np.ndarray, jax.Array)):
+        return DenseOp(jnp.asarray(A))
+    if callable(A):
+        if not callable(At):
+            raise ValueError("A is a callable; At must be its adjoint callable")
+        return FunctionOp(A, At)
+    raise TypeError(f"unsupported operator type: {type(A)}")
+
+
+def check_adjoint(op: LinearOp, x_like, key, rtol: float = 1e-4,
+                  n_trials: int = 2) -> float:
+    """Verify ⟨Ax, y⟩ = ⟨x, Aᴴy⟩ on random vectors (the reference's
+    built-in adjoint fixture, arXiv:1501.04979 §5).  Returns the max
+    relative error; raises if it exceeds ``rtol`` (loose default: fp32)."""
+    x_like = jnp.asarray(x_like)
+    d_like = jax.eval_shape(op, x_like)
+    worst = 0.0
+    for t in range(n_trials):
+        key, k1, k2 = jax.random.split(key, 3)
+        x = _randn_like(k1, x_like.shape, x_like.dtype)
+        y = _randn_like(k2, d_like.shape, d_like.dtype)
+        lhs = jnp.vdot(y, op(x))
+        rhs = jnp.vdot(op.rmatvec(y), x)
+        scale = max(abs(complex(lhs)), abs(complex(rhs)), 1e-30)
+        err = abs(complex(lhs) - complex(rhs)) / scale
+        worst = max(worst, err)
+    if worst > rtol:
+        raise ValueError(f"adjoint check failed: rel err {worst:.3e} > {rtol:.1e}")
+    return worst
+
+
+def _randn_like(key, shape, dtype):
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        k1, k2 = jax.random.split(key)
+        return (jax.random.normal(k1, shape).astype(dtype)
+                + 1j * jax.random.normal(k2, shape).astype(dtype))
+    return jax.random.normal(key, shape, dtype)

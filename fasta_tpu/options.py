@@ -1,0 +1,92 @@
+"""Solver options — the reference-compatible configuration surface.
+
+Mirrors the option set of the reference solver (see SURVEY.md §2.1 C1/C4 and
+the FASTA user manual arXiv:1501.04979 §5): every enhancement (adaptive BB
+stepsize, FISTA acceleration, backtracking, restart) is independently
+toggleable, the stopping rule is selectable, and the defaults follow the
+reference conventions (adaptive on, acceleration off, backtracking on,
+window 10, stepsize_shrink 0.2 when adaptive else 0.5).
+
+``FastaOptions`` is a frozen (hashable) dataclass so it can be closed over
+by ``jax.jit`` as static configuration: every boolean/rule choice selects a
+trace-time branch, never a runtime one — the compiled solver contains only
+the code for the chosen mode (SURVEY.md §7 step 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["FastaOptions", "STOP_RULES"]
+
+# Stopping rules, matching reference_oracle.fasta_numpy.STOP_RULES
+# (reference manual arXiv:1501.04979 §5: residual / normalizedResidual /
+# ratioResidual / hybridResidual / iterations).
+STOP_RULES = (
+    "residual",
+    "normalized_residual",
+    "ratio_residual",
+    "hybrid_residual",
+    "iterations",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FastaOptions:
+    """Static solver configuration (hashable; safe as a jit closure).
+
+    Field semantics are identical to the keyword arguments of the in-repo
+    float64 oracle ``reference_oracle.fasta_numpy.fasta`` — that module is
+    the authoritative algorithm spec (the upstream mount was empty, see
+    SURVEY.md §0).
+    """
+
+    max_iters: int = 1000
+    tol: float = 1e-3
+    adaptive: bool = True
+    accelerate: bool = False
+    backtrack: bool = True
+    restart: bool = True
+    window: int = 10
+    max_backtracks: int = 20
+    stepsize_shrink: Optional[float] = None   # default 0.2 adaptive else 0.5
+    eps_r: float = 1e-8
+    eps_n: float = 1e-8
+    stop_rule: str = "hybrid_residual"
+    record_objective: bool = False
+    record_iterates: bool = False
+    verbose: bool = False
+
+    # Mode precedence matches the oracle (fasta_numpy.py: ``if adaptive and
+    # not accelerate ... elif accelerate``): acceleration wins when both are
+    # set, since ``adaptive=True`` is the default and the mode-comparison
+    # harness toggles ``accelerate`` alone.
+    @property
+    def effective_mode(self) -> str:
+        if self.accelerate:
+            return "accelerated"
+        if self.adaptive:
+            return "adaptive"
+        return "plain"
+
+    def __post_init__(self):
+        if self.stop_rule not in STOP_RULES:
+            raise ValueError(
+                f"stop_rule must be one of {STOP_RULES}, got {self.stop_rule!r}")
+        if self.window < 1:
+            raise ValueError("window must be >= 1")
+        if self.max_iters < 1:
+            raise ValueError("max_iters must be >= 1")
+
+    @property
+    def shrink_factor(self) -> float:
+        """Backtracking shrink factor with the reference's mode-dependent
+        default: 0.2 when adaptive (aggressive — BB recovers quickly),
+        0.5 otherwise."""
+        if self.stepsize_shrink is not None:
+            return self.stepsize_shrink
+        return 0.2 if self.adaptive else 0.5
+
+    def replace(self, **kw) -> "FastaOptions":
+        return dataclasses.replace(self, **kw)

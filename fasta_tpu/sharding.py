@@ -1,0 +1,173 @@
+"""Multi-device execution: row-sharded FASTA over a ``jax.sharding.Mesh``.
+
+The scaling axis of this workload is the measurement dimension ``m``
+(SURVEY.md §2.3): each device holds a row block ``A_i`` of the operator
+and the matching block of ``b``/residual, computes ``A_i x`` locally, and
+the adjoint matvec ``Aᴴr = Σ_i A_iᴴ r_i`` is an all-reduce that XLA lowers
+onto ICI.  Everything else in the solver — prox, stepsize logic, stopping
+— is either elementwise on the replicated signal ``x`` or a scalar
+reduction (⟨Δx,Δg⟩, ‖·‖², f-values) that the partitioner turns into a
+``psum``; because the reduction is collective and deterministic, **every
+device sees identical stepsize and stopping decisions** (the BASELINE.json
+determinism requirement).
+
+Two composable mechanisms, both driving the *same* solver:
+
+  * ``shard_problem(problem, mesh)`` — GSPMD path: ``device_put`` each
+    measurement-space leaf with a row ``NamedSharding`` and replicate the
+    rest; jit + the XLA partitioner insert all collectives.  Idiomatic
+    "annotate shardings, let XLA do the rest".
+  * ``RowShardedDenseOp`` — explicit ``shard_map`` path: the matvec pair
+    is written with hand-placed ``psum`` so collective placement is
+    guaranteed by construction, not inferred.  Used by the multi-chip
+    dry-run and available for cases where propagation needs pinning.
+
+Multi-host pods: call ``jax.distributed.initialize()`` before building the
+mesh from ``jax.devices()`` — the same code paths compile unchanged; DCN
+handles the cross-host legs of the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .operators import DenseOp, LinearOp
+from .problem import Problem
+
+__all__ = [
+    "make_mesh", "shard_problem", "RowShardedDenseOp",
+    "replicate", "shard_rows",
+]
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "rows",
+              devices=None) -> Mesh:
+    """1-D device mesh over the measurement axis.  Uses all visible
+    devices by default (pass ``n_devices`` to take a prefix)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(x, mesh: Mesh):
+    """Place an array fully replicated on the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_rows(x, mesh: Mesh, axis_name: str = "rows"):
+    """Shard an array's leading axis across the mesh axis."""
+    x = jnp.asarray(x)
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+@jax.tree_util.register_pytree_node_class
+class RowShardedDenseOp(LinearOp):
+    """Dense operator with explicit shard_map row parallelism.
+
+    Forward: purely local GEMV on each device's row block (zero
+    communication — the output inherits the row sharding).
+    Adjoint:  local ``A_iᴴ y_i`` followed by one ``psum`` over the mesh
+    axis — the single collective of the iteration, riding ICI.
+    """
+
+    def __init__(self, A, mesh: Mesh, axis_name: str = "rows"):
+        self.A = A
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def __call__(self, x):
+        ax = self.axis_name
+
+        def fwd(A_blk, x_rep):
+            return A_blk @ x_rep
+
+        return shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(ax, None), P()),
+            out_specs=P(ax),
+        )(self.A, x)
+
+    def rmatvec(self, y):
+        ax = self.axis_name
+
+        def adj(A_blk, y_blk):
+            return jax.lax.psum(A_blk.conj().T @ y_blk, ax)
+
+        return shard_map(
+            adj, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax)),
+            out_specs=P(),
+        )(self.A, y)
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    def tree_flatten(self):
+        return (self.A,), (self.mesh, self.axis_name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def _measurement_dim(problem: Problem) -> Optional[int]:
+    """Leading dimension of the measurement space d = A x."""
+    try:
+        d_shape = jax.eval_shape(problem.op, jnp.asarray(problem.x0)).shape
+    except Exception:
+        return None
+    return d_shape[0] if d_shape else None
+
+
+def shard_problem(problem: Problem, mesh: Mesh,
+                  axis_name: str = "rows",
+                  explicit: bool = False) -> Problem:
+    """Place a problem on the mesh, row-sharded over measurements.
+
+    Placement rule: any array leaf of the operator or smooth term whose
+    leading dimension equals the measurement dimension ``m`` is sharded
+    ``P(axis, None, …)``; every other leaf (prox-term anchors, x0 — all
+    signal-space) is replicated.  With ``explicit=True`` the DenseOp is
+    additionally wrapped in :class:`RowShardedDenseOp` so the matvec
+    collectives are hand-placed via shard_map rather than inferred.
+
+    The measurement dim must divide the mesh size for an even layout;
+    uneven sizes still work (XLA pads internally) but waste the remainder
+    devices' tail.
+    """
+    m = _measurement_dim(problem)
+    n_dev = mesh.devices.size
+    if m is not None and m % n_dev != 0:
+        raise ValueError(
+            f"measurement dim {m} not divisible by mesh size {n_dev}; "
+            f"pad the problem or choose a different mesh")
+
+    def place(x, shard_ok: bool):
+        if not isinstance(x, (jax.Array, np.ndarray)):
+            return x
+        x = jnp.asarray(x)
+        if shard_ok and x.ndim >= 1 and m is not None and x.shape[0] == m:
+            return shard_rows(x, mesh, axis_name)
+        return replicate(x, mesh)
+
+    op = jax.tree_util.tree_map(lambda l: place(l, True), problem.op)
+    fterm = jax.tree_util.tree_map(lambda l: place(l, True), problem.fterm)
+    gterm = jax.tree_util.tree_map(lambda l: place(l, False), problem.gterm)
+    x0 = place(problem.x0, False)
+
+    if explicit and isinstance(op, DenseOp):
+        op = RowShardedDenseOp(op.A, mesh, axis_name)
+
+    return problem.with_parts(op=op, fterm=fterm, gterm=gterm, x0=x0,
+                              name=problem.name + f"@{n_dev}dev")

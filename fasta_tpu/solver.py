@@ -1,0 +1,465 @@
+"""TPU-native FASTA solver core (capability C1/C4/C5/C8, SURVEY.md §2.1).
+
+The entire forward-backward splitting engine — gradient step, prox step,
+nonmonotone backtracking line search, adaptive Barzilai–Borwein (spectral)
+stepsize with the Zhou–Gao–Dai hybrid rule, FISTA acceleration with
+O'Donoghue–Candès adaptive restart, selectable stopping rules, and full
+per-iteration diagnostics — compiled as ONE ``jax.lax.while_loop`` under
+``jax.jit`` with **zero host round-trips**: stepsize and stopping decisions
+are device scalars, diagnostics land in preallocated device arrays via
+indexed updates, and under a sharded mesh every reduction
+(⟨Δx,Δg⟩, ‖·‖², f-values) lowers to an XLA ``psum`` so all devices make
+identical decisions (SURVEY.md §2.3/§5).
+
+TPU-first design choices:
+
+  * The operator AND both objective terms are **pytree arguments** of the
+    jitted solve — problem data is never a trace constant, so (a) new
+    instances with the same shapes reuse the compiled executable, and
+    (b) each array carries an explicit ``NamedSharding`` onto the mesh.
+  * All of ``FastaOptions`` is static: each mode compiles to its own
+    minimal loop body, no runtime mode switches.
+  * Cost per iteration: two A/Aᴴ matvecs — the gradient at the accepted
+    iterate doubles as the next iteration's starting gradient (the reuse
+    noted in SURVEY.md §3.1) — plus one forward matvec per backtracking
+    trial.  The FISTA extrapolation exploits linearity (A y formed by the
+    same affine combination as y): no extra matvec.
+
+Iteration math is **identical** (same update order, same formulas, same
+guard constants) to the float64 oracle ``reference_oracle/fasta_numpy.py``
+— the in-repo algorithm spec standing in for the unmountable upstream
+(SURVEY.md §0) — so trajectories agree within fp tolerance; the parity
+tests in ``tests/parity/`` enforce this per-iteration.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .operators import LinearOp, as_linear_op
+from .options import FastaOptions
+from .terms import ProxTerm, SmoothTerm, as_prox_term, as_smooth_term
+
+__all__ = [
+    "fasta", "solve", "make_solver", "estimate_stepsize", "FastaResult",
+    "DeviceResult", "SolverState", "Diagnostics",
+]
+
+
+def _redot(a, b):
+    """Re⟨a, b⟩ over arbitrary-shape (possibly complex) arrays — the
+    complex-safe inner product every stepsize/stopping decision uses."""
+    return jnp.real(jnp.vdot(a, b))
+
+
+def _norm2(a):
+    return jnp.real(jnp.vdot(a, a))
+
+
+def _norm(a):
+    return jnp.sqrt(_norm2(a))
+
+
+class Diagnostics(NamedTuple):
+    """Per-iteration recordings (preallocated, device-side; C5)."""
+    residuals: Any
+    norm_residuals: Any
+    taus: Any
+    fvals: Any
+    objectives: Any        # None unless record_objective
+    backtracks: Any
+    iterates: Any          # None unless record_iterates
+
+
+class SolverState(NamedTuple):
+    """The while_loop carry — the full solver state as a pytree.
+
+    Serializable with any pytree checkpointer (e.g. orbax) for free
+    resume (SURVEY.md §5 checkpoint/resume)."""
+    k: Any                 # iteration counter (int32)
+    stop: Any              # convergence flag (bool)
+    x1: Any                # current search point (y_k in FISTA terms)
+    gradf1: Any            # Aᴴ ∇f(A x1)
+    tau1: Any              # stepsize entering the iteration
+    fwin: Any              # nonmonotone window ring buffer (length W)
+    solution: Any          # solver solution (oracle semantics, see body)
+    best_x: Any            # best-objective iterate so far
+    min_objective: Any
+    max_residual: Any
+    total_bt: Any
+    accel: Any             # (x_accel1, d_accel1, alpha1) or None
+    diags: Diagnostics
+
+
+class DeviceResult(NamedTuple):
+    """Raw jit output — everything stays on device (benchmark-friendly)."""
+    solution: Any
+    best_iterate: Any
+    iteration_count: Any
+    converged: Any
+    residuals: Any
+    norm_residuals: Any
+    taus: Any
+    fvals: Any
+    objectives: Any
+    backtracks: Any
+    total_backtracks: Any
+    iterates: Any
+
+
+@dataclass
+class FastaResult:
+    """Host-side result with trimmed diagnostic arrays — mirrors the
+    oracle's ``FastaResult`` field for field (reference outputs per
+    arXiv:1501.04979 §5)."""
+    solution: np.ndarray
+    best_iterate: np.ndarray
+    iteration_count: int
+    converged: bool
+    residuals: np.ndarray
+    norm_residuals: np.ndarray
+    taus: np.ndarray
+    fvals: np.ndarray
+    objectives: Optional[np.ndarray]
+    backtracks: np.ndarray
+    total_backtracks: int
+    solve_time: float
+    L_estimate: Optional[float]
+    initial_tau: float
+    iterates: Optional[np.ndarray] = None
+
+
+def estimate_stepsize(op: LinearOp, fterm: SmoothTerm, x0, key) -> tuple:
+    """C8: Lipschitz/initial-stepsize estimation from two random points:
+    L ≈ ‖∇f̃(z₁)−∇f̃(z₂)‖/‖z₁−z₂‖ with ∇f̃(x) = Aᴴ∇f(Ax), τ₀ = (2/L)/10
+    (the reference's convention; oracle fasta_numpy.py C8 block)."""
+    x0 = jnp.asarray(x0)
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    k1, k2 = jax.random.split(key)
+    if jnp.issubdtype(x0.dtype, jnp.complexfloating):
+        def rnd(k):
+            ka, kb = jax.random.split(k)
+            return (jax.random.normal(ka, x0.shape)
+                    + 1j * jax.random.normal(kb, x0.shape)).astype(x0.dtype)
+    else:
+        def rnd(k):
+            return jax.random.normal(k, x0.shape, x0.dtype)
+    z1, z2 = rnd(k1), rnd(k2)
+    g1 = op.rmatvec(fterm.grad(op(z1)))
+    g2 = op.rmatvec(fterm.grad(op(z2)))
+    L = _norm(g1 - g2) / jnp.maximum(_norm(z2 - z1), 1e-30)
+    L = jnp.maximum(L, 1e-6)
+    return 2.0 / L / 10.0, L
+
+
+def _real_dtype(dtype):
+    return jnp.zeros((), dtype).real.dtype
+
+
+def _make_solve_fn(opts: FastaOptions):
+    """Build the traced solve(op, fterm, gterm, x0, tau0) -> DeviceResult."""
+    W = opts.window
+    shrink_f = opts.shrink_factor
+    accelerated = opts.accelerate
+    adaptive = opts.adaptive and not opts.accelerate   # oracle precedence
+
+    def solve(op: LinearOp, fterm: SmoothTerm, gterm: ProxTerm,
+              x0, tau0) -> DeviceResult:
+        x0 = jnp.asarray(x0)
+        rdt = _real_dtype(x0.dtype)
+        tau0 = jnp.asarray(tau0, rdt)
+
+        d0 = op(x0)
+        f0 = fterm.value(d0).astype(rdt)
+        gradf0 = op.rmatvec(fterm.grad(d0))
+
+        fwin = jnp.full((W,), -jnp.inf, rdt).at[0].set(f0)
+
+        diags = Diagnostics(
+            residuals=jnp.zeros((opts.max_iters,), rdt),
+            norm_residuals=jnp.zeros((opts.max_iters,), rdt),
+            taus=jnp.zeros((opts.max_iters,), rdt),
+            fvals=jnp.zeros((opts.max_iters,), rdt),
+            objectives=(jnp.zeros((opts.max_iters,), rdt)
+                        if opts.record_objective else None),
+            backtracks=jnp.zeros((opts.max_iters,), jnp.int32),
+            iterates=(jnp.zeros((opts.max_iters,) + x0.shape, x0.dtype)
+                      if opts.record_iterates else None),
+        )
+
+        state = SolverState(
+            k=jnp.zeros((), jnp.int32),
+            stop=jnp.zeros((), jnp.bool_),
+            x1=x0,
+            gradf1=gradf0,
+            tau1=tau0,
+            fwin=fwin,
+            solution=x0,
+            best_x=x0,
+            min_objective=jnp.asarray(jnp.inf, rdt),
+            max_residual=jnp.asarray(-jnp.inf, rdt),
+            total_bt=jnp.zeros((), jnp.int32),
+            accel=((x0, d0, jnp.ones((), rdt)) if accelerated else None),
+            diags=diags,
+        )
+
+        def cond(s: SolverState):
+            return (s.k < opts.max_iters) & (~s.stop)
+
+        def body(s: SolverState) -> SolverState:
+            x0_, gradf0_, tau = s.x1, s.gradf1, s.tau1
+
+            # 1–3: forward (gradient) step, backward (prox) step
+            def fb_step(tau):
+                x1hat = x0_ - tau * gradf0_
+                x1 = gterm.prox(x1hat, tau)
+                Dx = x1 - x0_
+                d1 = op(x1)
+                f1 = fterm.value(d1).astype(rdt)
+                return x1hat, x1, Dx, d1, f1
+
+            x1hat, x1, Dx, d1, f1 = fb_step(tau)
+            bt = jnp.zeros((), jnp.int32)
+
+            # 4: nonmonotone backtracking line search (Zhang–Hager window)
+            if opts.backtrack:
+                M = jnp.max(s.fwin)
+
+                def bt_cond(c):
+                    tau_c, _x1hat, _x1, Dx_c, _d1, f1_c, bt_c = c
+                    suff = (M + _redot(Dx_c, gradf0_)
+                            + _norm2(Dx_c) / (2.0 * tau_c))
+                    return (f1_c - 1e-12 > suff) & (bt_c < opts.max_backtracks)
+
+                def bt_body(c):
+                    tau_c, *_, bt_c = c
+                    tau_n = tau_c * shrink_f
+                    x1hat_n, x1_n, Dx_n, d1_n, f1_n = fb_step(tau_n)
+                    return (tau_n, x1hat_n, x1_n, Dx_n, d1_n, f1_n, bt_c + 1)
+
+                tau, x1hat, x1, Dx, d1, f1, bt = jax.lax.while_loop(
+                    bt_cond, bt_body, (tau, x1hat, x1, Dx, d1, f1, bt))
+
+            # 5: residuals, diagnostics, best-iterate tracking (C4/C5)
+            res = _norm(Dx) / tau
+            max_res = jnp.maximum(s.max_residual, res)
+            normalizer = (jnp.maximum(_norm(gradf0_), _norm(x1 - x1hat) / tau)
+                          + opts.eps_n)
+            nres = res / normalizer
+
+            k = s.k
+            d_ = s.diags
+            obj = (f1 + gterm.value(x1).astype(rdt)
+                   if opts.record_objective else None)
+            new_diags = Diagnostics(
+                residuals=d_.residuals.at[k].set(res),
+                norm_residuals=d_.norm_residuals.at[k].set(nres),
+                taus=d_.taus.at[k].set(tau),
+                fvals=d_.fvals.at[k].set(f1),
+                objectives=(d_.objectives.at[k].set(obj)
+                            if opts.record_objective else None),
+                backtracks=d_.backtracks.at[k].set(bt),
+                iterates=(d_.iterates.at[k].set(x1)
+                          if opts.record_iterates else None),
+            )
+            fwin = s.fwin.at[(k + 1) % W].set(f1)
+
+            new_obj = obj if opts.record_objective else res
+            better = new_obj < s.min_objective
+            min_obj = jnp.where(better, new_obj, s.min_objective)
+            best_x = jnp.where(better, x1, s.best_x)
+
+            if opts.verbose:
+                jax.debug.print(
+                    "[fasta-tpu] iter {k}  tau {t:.3e}  resid {r:.3e}  "
+                    "nresid {n:.3e}  f {f:.6e}  bt {b}",
+                    k=k, t=tau, r=res, n=nres, f=f1, b=bt)
+
+            # stopping rule (static selection; oracle-identical formulas)
+            if opts.stop_rule == "residual":
+                stop = res < opts.tol
+            elif opts.stop_rule == "normalized_residual":
+                stop = nres < opts.tol
+            elif opts.stop_rule == "ratio_residual":
+                stop = res / (max_res + opts.eps_r) < opts.tol
+            elif opts.stop_rule == "hybrid_residual":
+                stop = ((res / (max_res + opts.eps_r) < opts.tol)
+                        | (nres < opts.tol))
+            else:  # "iterations"
+                stop = jnp.zeros((), jnp.bool_)
+
+            # 6/7: mode-specific next-point update.  Computed even on the
+            # stopping iteration (the loop exits before using it) — keeps
+            # the body branch-free; costs one matvec on the final iter.
+            if adaptive:
+                gradf1 = op.rmatvec(fterm.grad(d1))
+                Dg = gradf1 + (x1hat - x0_) / tau       # == gradf1 - gradf0
+                dotprod = _redot(Dx, Dg)
+                nDx2 = _norm2(Dx)
+                nDg2 = _norm2(Dg)
+                tau_s = jnp.where(dotprod != 0.0, nDx2 / dotprod, jnp.inf)
+                tau_m = jnp.maximum(
+                    jnp.where(nDg2 > 0.0, dotprod / nDg2, 0.0), 0.0)
+                tau_next = jnp.where(2.0 * tau_m > tau_s,
+                                     tau_m, tau_s - 0.5 * tau_m)
+                bad = ((tau_next <= 0.0) | jnp.isinf(tau_next)
+                       | jnp.isnan(tau_next))
+                tau_next = jnp.where(bad, tau * 1.5, tau_next)
+                x_next, gradf_next, accel_next = x1, gradf1, None
+            elif accelerated:
+                x_accel0, d_accel0, alpha0 = s.accel
+                # O'Donoghue–Candès gradient-based adaptive restart
+                if opts.restart:
+                    rst = _redot(x0_ - x1, x1 - x_accel0) > 0.0
+                    alpha0 = jnp.where(rst, jnp.ones((), rdt), alpha0)
+                alpha1 = (1.0 + jnp.sqrt(1.0 + 4.0 * alpha0 ** 2)) / 2.0
+                beta = ((alpha0 - 1.0) / alpha1).astype(rdt)
+                x_next = x1 + beta * (x1 - x_accel0)
+                d_next = d1 + beta * (d1 - d_accel0)    # A is linear
+                gradf_next = op.rmatvec(fterm.grad(d_next))
+                tau_next = tau
+                accel_next = (x1, d1, alpha1)
+            else:
+                gradf_next = op.rmatvec(fterm.grad(d1))
+                tau_next = tau
+                x_next, accel_next = x1, None
+
+            # Oracle solution semantics: on a converged stop the loop
+            # breaks at the prox iterate; at max-iters exhaustion the last
+            # body completes, so (in accelerated mode) the extrapolated
+            # point is returned.  jnp.where keeps both paths device-side.
+            solution = jnp.where(stop, x1, x_next) if accelerated else x1
+
+            return SolverState(
+                k=k + 1, stop=stop, x1=x_next, gradf1=gradf_next,
+                tau1=tau_next, fwin=fwin, solution=solution, best_x=best_x,
+                min_objective=min_obj, max_residual=max_res,
+                total_bt=s.total_bt + bt, accel=accel_next,
+                diags=new_diags)
+
+        final = jax.lax.while_loop(cond, body, state)
+
+        return DeviceResult(
+            solution=final.solution,
+            best_iterate=final.best_x,
+            iteration_count=final.k,
+            converged=final.stop,
+            residuals=final.diags.residuals,
+            norm_residuals=final.diags.norm_residuals,
+            taus=final.diags.taus,
+            fvals=final.diags.fvals,
+            objectives=final.diags.objectives,
+            backtracks=final.diags.backtracks,
+            total_backtracks=final.total_bt,
+            iterates=final.diags.iterates,
+        )
+
+    return solve
+
+
+_SOLVER_CACHE: dict = {}
+
+
+def make_solver(opts: FastaOptions):
+    """Return the jit-compiled
+    ``solve(op, fterm, gterm, x0, tau0) -> DeviceResult``.
+
+    One compiled executable serves every problem with the same options
+    and array shapes/structures — the operator and both objective terms
+    are pytree arguments, not trace constants.
+    """
+    fn = _SOLVER_CACHE.get(opts)
+    if fn is None:
+        fn = jax.jit(_make_solve_fn(opts))
+        _SOLVER_CACHE[opts] = fn
+    return fn
+
+
+def solve(op: LinearOp, fterm: SmoothTerm, gterm: ProxTerm, x0, tau0,
+          opts: Optional[FastaOptions] = None) -> DeviceResult:
+    """Device-side solve — thin wrapper over ``make_solver``."""
+    return make_solver(opts or FastaOptions())(op, fterm, gterm, x0, tau0)
+
+
+def fasta(
+    A: Any,
+    At: Any,
+    f: Any,
+    gradf: Optional[Callable],
+    g: Any,
+    proxg: Optional[Callable],
+    x0,
+    *,
+    options: Optional[FastaOptions] = None,
+    tau0: Optional[float] = None,
+    L: Optional[float] = None,
+    key: int = 0,
+    check_adjoint_first: bool = False,
+    **opt_kwargs,
+) -> FastaResult:
+    """Reference-compatible convenience entry point — same call shape as
+    the upstream solver and the in-repo oracle: operator (matrix, closure
+    pair, LinearOp, or None), smooth term (f, gradf — callables or a
+    SmoothTerm), simple term (g, proxg — callables or a ProxTerm),
+    initial iterate, keyword options.
+
+    Runs the cached jitted device solver and returns a host-side
+    ``FastaResult`` with trimmed diagnostics.  For benchmarking or
+    repeated solves use ``make_solver`` and stay on device.
+    """
+    opts = options or FastaOptions()
+    if opt_kwargs:
+        opts = opts.replace(**opt_kwargs)
+    op = as_linear_op(A, At)
+    fterm = as_smooth_term(f, gradf)
+    gterm = as_prox_term(g, proxg)
+    x0 = jnp.asarray(x0)
+
+    if check_adjoint_first:
+        from .operators import check_adjoint
+        check_adjoint(op, x0, jax.random.PRNGKey(key))
+
+    L_est = None
+    if tau0 is None:
+        if L is None:
+            tau0_arr, L_arr = estimate_stepsize(op, fterm, x0, key)
+            tau0 = float(tau0_arr)
+            L_est = float(L_arr)
+        else:
+            tau0 = 2.0 / L / 10.0
+    initial_tau = float(tau0)
+
+    solve_fn = make_solver(opts)
+
+    t0 = time.perf_counter()
+    out = solve_fn(op, fterm, gterm, x0, tau0)
+    out = jax.block_until_ready(out)
+    solve_time = time.perf_counter() - t0
+
+    k = int(out.iteration_count)
+    return FastaResult(
+        solution=np.asarray(out.solution),
+        best_iterate=np.asarray(out.best_iterate),
+        iteration_count=k,
+        converged=bool(out.converged),
+        residuals=np.asarray(out.residuals)[:k],
+        norm_residuals=np.asarray(out.norm_residuals)[:k],
+        taus=np.asarray(out.taus)[:k],
+        fvals=np.asarray(out.fvals)[:k],
+        objectives=(np.asarray(out.objectives)[:k]
+                    if out.objectives is not None else None),
+        backtracks=np.asarray(out.backtracks)[:k],
+        total_backtracks=int(out.total_backtracks),
+        solve_time=solve_time,
+        L_estimate=L_est,
+        initial_tau=initial_tau,
+        iterates=(np.asarray(out.iterates)[:k]
+                  if out.iterates is not None else None),
+    )

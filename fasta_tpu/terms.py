@@ -1,0 +1,446 @@
+"""Objective terms as pytrees: smooth f(A·) and prox-friendly g(·).
+
+Design point (TPU-first): the reference passes f/gradf/g/proxg as bare
+closures; here each term is a **registered pytree** whose leaves are its
+data arrays (measurement vector b, anchor vectors, masks…).  The solver
+takes terms as jit *arguments*, so
+
+  * data is never baked into the trace as constants — a new instance with
+    the same shapes reuses the compiled executable;
+  * every array can be explicitly placed on a ``jax.sharding.Mesh``
+    (row-sharded b next to row-sharded A), which closure constants cannot
+    guarantee (fasta_tpu/sharding.py);
+  * terms compose: ``fasta()`` wraps raw callables in Function* terms for
+    reference-style calls.
+
+Smooth terms implement ``value(d) -> scalar`` and ``grad(d) -> array``
+(evaluated at d = A x); prox terms implement ``value(x) -> scalar`` and
+``prox(z, t) -> array``.  Term semantics match the reference example
+suite (SURVEY.md §2.2) and the oracle generators.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import prox as _prox
+
+__all__ = [
+    "SmoothTerm", "LeastSquares", "Logistic", "PhaseHinge",
+    "FunctionSmooth", "ProxTerm", "L1Norm", "NonnegIndicator",
+    "BoxIndicator", "LinfBallIndicator", "LinearAnchor", "NuclearNorm",
+    "L21Norm", "LinfNorm", "MaxRowNormBall", "ZeroTerm", "FunctionProx",
+    "as_smooth_term", "as_prox_term", "MaskedLogistic",
+]
+
+
+# --------------------------------------------------------------------------
+# Smooth terms  f(d), ∇f(d)  — measurement-space data as leaves.
+# --------------------------------------------------------------------------
+
+class SmoothTerm:
+    def value(self, d):
+        raise NotImplementedError
+
+    def grad(self, d):
+        raise NotImplementedError
+
+    def tree_flatten(self):
+        return (), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux, children
+        return cls()
+
+
+@jax.tree_util.register_pytree_node_class
+class LeastSquares(SmoothTerm):
+    """f(d) = ½‖d − b‖²  (complex-safe Hermitian norm)."""
+
+    def __init__(self, b):
+        self.b = b
+
+    def value(self, d):
+        r = d - self.b
+        return 0.5 * jnp.real(jnp.vdot(r, r))
+
+    def grad(self, d):
+        return d - self.b
+
+    def tree_flatten(self):
+        return (self.b,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class Logistic(SmoothTerm):
+    """Logistic loss  Σ log(1+exp(d)) − bᵀd,  labels b ∈ {0,1}; stable
+    evaluation matches the oracle (max(d,0) + log1p(exp(−|d|)))."""
+
+    def __init__(self, b):
+        self.b = b
+
+    def value(self, d):
+        return jnp.sum(jnp.maximum(d, 0.0)
+                       + jnp.log1p(jnp.exp(-jnp.abs(d))) - self.b * d)
+
+    def grad(self, d):
+        return 1.0 / (1.0 + jnp.exp(-d)) - self.b
+
+    def tree_flatten(self):
+        return (self.b,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class MaskedLogistic(SmoothTerm):
+    """Masked logistic loss for 1-bit matrix completion:
+    f(D) = Σ_{(i,j)∈Ω} log(1+exp(D_ij)) − Y_ij·D_ij  with Y ∈ {0,1} on
+    the observed set Ω (mask ∈ {0,1})."""
+
+    def __init__(self, Y, mask):
+        self.Y = Y
+        self.mask = mask
+
+    def value(self, d):
+        loss = jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d))) \
+            - self.Y * d
+        return jnp.sum(self.mask * loss)
+
+    def grad(self, d):
+        return self.mask * (1.0 / (1.0 + jnp.exp(-d)) - self.Y)
+
+    def tree_flatten(self):
+        return (self.Y, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class PhaseHinge(SmoothTerm):
+    """Smooth circular hinge for PhaseMax phase retrieval:
+    f(d) = ½ Σ max(|d|−b, 0)², Wirtinger gradient max(|d|−b,0)·d/|d|."""
+
+    def __init__(self, b):
+        self.b = b
+
+    def value(self, d):
+        r = jnp.maximum(jnp.abs(d) - self.b, 0.0)
+        return 0.5 * jnp.sum(r * r)
+
+    def grad(self, d):
+        mag = jnp.abs(d)
+        r = jnp.maximum(mag - self.b, 0.0)
+        return (r / jnp.maximum(mag, 1e-30)) * d
+
+    def tree_flatten(self):
+        return (self.b,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class FunctionSmooth(SmoothTerm):
+    """Wrap raw (f, gradf) callables — reference-style closures.  The
+    callables are static aux data (arrays they capture are baked into the
+    trace; prefer the data-carrying terms above for sharded runs)."""
+
+    def __init__(self, f: Callable, gradf: Callable):
+        self.f = f
+        self.gradf = gradf
+
+    def value(self, d):
+        return self.f(d)
+
+    def grad(self, d):
+        return self.gradf(d)
+
+    def tree_flatten(self):
+        return (), (self.f, self.gradf)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(*aux)
+
+
+# --------------------------------------------------------------------------
+# Prox terms  g(x), prox_{t·g}(z)  — signal-space data as leaves.
+# --------------------------------------------------------------------------
+
+class ProxTerm:
+    def value(self, x):
+        raise NotImplementedError
+
+    def prox(self, z, t):
+        raise NotImplementedError
+
+    def tree_flatten(self):
+        return (), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux, children
+        return cls()
+
+
+@jax.tree_util.register_pytree_node_class
+class L1Norm(ProxTerm):
+    """g = μ‖·‖₁; prox = soft threshold (shrink)."""
+
+    def __init__(self, mu: float = 1.0):
+        self.mu = mu
+
+    def value(self, x):
+        return self.mu * jnp.sum(jnp.abs(x))
+
+    def prox(self, z, t):
+        return _prox.shrink(z, t * self.mu)
+
+    def tree_flatten(self):
+        return (), (self.mu,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class LinfNorm(ProxTerm):
+    """g = μ‖·‖∞; prox via Moreau/L1-ball projection (democratic
+    representations)."""
+
+    def __init__(self, mu: float = 1.0):
+        self.mu = mu
+
+    def value(self, x):
+        return self.mu * jnp.max(jnp.abs(x))
+
+    def prox(self, z, t):
+        return _prox.prox_linf(z, t * self.mu)
+
+    def tree_flatten(self):
+        return (), (self.mu,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class L21Norm(ProxTerm):
+    """g = μ‖·‖_{2,1} (sum of row norms); prox = row-wise group shrink
+    (MMV joint sparsity)."""
+
+    def __init__(self, mu: float = 1.0):
+        self.mu = mu
+
+    def value(self, X):
+        return self.mu * jnp.sum(jnp.linalg.norm(X, axis=-1))
+
+    def prox(self, Z, t):
+        return _prox.shrink_rows(Z, t * self.mu)
+
+    def tree_flatten(self):
+        return (), (self.mu,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class NuclearNorm(ProxTerm):
+    """g = μ‖·‖_* ; prox = singular-value thresholding (matrix
+    completion).  The SVD stays in XLA (SURVEY.md §2.4)."""
+
+    def __init__(self, mu: float = 1.0):
+        self.mu = mu
+
+    def value(self, X):
+        return self.mu * jnp.sum(jnp.linalg.svd(X, compute_uv=False))
+
+    def prox(self, Z, t):
+        return _prox.svt(Z, t * self.mu)
+
+    def tree_flatten(self):
+        return (), (self.mu,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class NonnegIndicator(ProxTerm):
+    """g = indicator{x ≥ 0}; prox = orthant projection (NNLS)."""
+
+    def value(self, x):
+        return jnp.zeros((), jnp.asarray(x).real.dtype)
+
+    def prox(self, z, t):
+        del t
+        return _prox.project_nonneg(z)
+
+
+@jax.tree_util.register_pytree_node_class
+class BoxIndicator(ProxTerm):
+    """g = indicator{lo ≤ x ≤ hi}; prox = clamp (TV dual ball, real)."""
+
+    def __init__(self, lo: float = -1.0, hi: float = 1.0):
+        self.lo = lo
+        self.hi = hi
+
+    def value(self, x):
+        return jnp.zeros((), jnp.asarray(x).real.dtype)
+
+    def prox(self, z, t):
+        del t
+        return _prox.project_box(z, self.lo, self.hi)
+
+    def tree_flatten(self):
+        return (), (self.lo, self.hi)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(*aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class LinfBallIndicator(ProxTerm):
+    """g = indicator{‖x‖∞ ≤ r}; complex-safe magnitude clip."""
+
+    def __init__(self, radius: float = 1.0):
+        self.radius = radius
+
+    def value(self, x):
+        return jnp.zeros((), jnp.asarray(x).real.dtype)
+
+    def prox(self, z, t):
+        del t
+        return _prox.project_linf_ball(z, self.radius)
+
+    def tree_flatten(self):
+        return (), (self.radius,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class MaxRowNormBall(ProxTerm):
+    """g = indicator{max_i ‖row_i‖₂ ≤ r} — the max-norm factorization
+    constraint; prox scales each row onto the L2 ball."""
+
+    def __init__(self, radius: float = 1.0):
+        self.radius = radius
+
+    def value(self, X):
+        return jnp.zeros((), jnp.asarray(X).real.dtype)
+
+    def prox(self, Z, t):
+        del t
+        norms = jnp.linalg.norm(Z, axis=-1, keepdims=True)
+        scale = jnp.minimum(norms, self.radius) / jnp.maximum(norms, 1e-30)
+        return Z * scale
+
+    def tree_flatten(self):
+        return (), (self.radius,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class LinearAnchor(ProxTerm):
+    """g(x) = −Re⟨c, x⟩ (PhaseMax anchor); prox(z,t) = z + t·c."""
+
+    def __init__(self, c):
+        self.c = c
+
+    def value(self, x):
+        return -jnp.real(jnp.vdot(self.c, x))
+
+    def prox(self, z, t):
+        return z + t * self.c
+
+    def tree_flatten(self):
+        return (self.c,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class ZeroTerm(ProxTerm):
+    """g ≡ 0 (smooth-only minimization)."""
+
+    def value(self, x):
+        return jnp.zeros((), jnp.asarray(x).real.dtype)
+
+    def prox(self, z, t):
+        del t
+        return z
+
+
+@jax.tree_util.register_pytree_node_class
+class FunctionProx(ProxTerm):
+    """Wrap raw (g, proxg) callables — reference-style closures."""
+
+    def __init__(self, g: Callable, proxg: Callable):
+        self.g = g
+        self.proxg = proxg
+
+    def value(self, x):
+        if self.g is None:
+            return jnp.zeros((), jnp.asarray(x).real.dtype)
+        return self.g(x)
+
+    def prox(self, z, t):
+        return self.proxg(z, t)
+
+    def tree_flatten(self):
+        return (), (self.g, self.proxg)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(*aux)
+
+
+def as_smooth_term(f, gradf=None) -> SmoothTerm:
+    if isinstance(f, SmoothTerm):
+        return f
+    return FunctionSmooth(f, gradf)
+
+
+def as_prox_term(g, proxg=None) -> ProxTerm:
+    if isinstance(g, ProxTerm):
+        return g
+    if g is None and proxg is None:
+        return ZeroTerm()
+    return FunctionProx(g, proxg)

@@ -1,0 +1,48 @@
+"""E5 — Phase retrieval (PhaseMax-style):  recover x from b = |Ax|.
+
+The flagship sharded configuration (BASELINE.json config 5): complex
+Gaussian A with 16 384 measurement rows.  PhaseMax relaxation solved as
+FBS on the penalized form
+
+    min  ½ Σ max(|(Ax)_i| − b_i, 0)²  −  δ·Re⟨x̂₀, x⟩
+
+with the smooth circular hinge as f and a linear-shift prox for g.  All
+solver inner products take real parts, so the identical engine drives
+this complex problem (SURVEY.md §3.4).  Row-sharding A over the mesh
+turns the adjoint matvec into an ICI psum — see fasta_tpu/sharding.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fasta_tpu import DenseOp, LinearAnchor, PhaseHinge
+from fasta_tpu.problem import Problem
+from reference_oracle.generators import make_phase_retrieval
+
+from . import register
+
+__all__ = ["build"]
+
+
+@register("phase_retrieval")
+def build(m: int = 16384, n: int = 256, delta: float = 0.1, seed: int = 5,
+          dtype=jnp.complex64) -> Problem:
+    inst = make_phase_retrieval(m=m, n=n, delta=delta, seed=seed)
+    rdt = jnp.zeros((), dtype).real.dtype
+    return Problem(
+        name=f"phase_retrieval[{m}x{n}]",
+        op=DenseOp(jnp.asarray(inst["A"], dtype)),
+        fterm=PhaseHinge(jnp.asarray(inst["b"], rdt)),
+        gterm=LinearAnchor(delta * jnp.asarray(inst["x0_hat"], dtype)),
+        x0=jnp.asarray(inst["x0"], dtype),
+        x_true=inst["x_true"],
+        instance=inst,
+    )
+
+
+if __name__ == "__main__":
+    from fasta_tpu.harness import compare_modes, format_comparison
+    problem = build()
+    print(format_comparison(problem, compare_modes(problem, tol=1e-6,
+                                                   max_iters=1000)))

@@ -24,8 +24,10 @@ import numpy as np
 
 __all__ = [
     "shrink", "project_nonneg", "project_box", "project_l1_ball", "svt",
+    "prox_linf", "shrink_rows", "project_max_row_norm",
     "make_lasso", "make_nnls", "make_logistic", "make_tv",
-    "make_phase_retrieval", "tv_grad_2d", "tv_div_2d",
+    "make_phase_retrieval", "make_democratic", "make_mmv",
+    "make_matrix_completion", "make_max_norm", "tv_grad_2d", "tv_div_2d",
 ]
 
 
@@ -69,6 +71,26 @@ def svt(Z: np.ndarray, t: float) -> np.ndarray:
     U, s, Vh = np.linalg.svd(Z, full_matrices=False)
     s = np.maximum(s - t, 0.0)
     return (U * s) @ Vh
+
+
+def prox_linf(z: np.ndarray, t: float) -> np.ndarray:
+    """Prox of t·‖·‖∞ via Moreau: z − t·P_{‖·‖₁≤1}(z/t)."""
+    return z - t * project_l1_ball(z / t, 1.0)
+
+
+def shrink_rows(Z: np.ndarray, t: float) -> np.ndarray:
+    """Row-wise group soft threshold — prox of t·‖·‖_{2,1}."""
+    norms = np.linalg.norm(Z, axis=-1, keepdims=True)
+    scale = np.maximum(norms - t, 0.0) / np.maximum(norms, 1e-30)
+    return Z * scale
+
+
+def project_max_row_norm(Z: np.ndarray, radius: float) -> np.ndarray:
+    """Project each row onto the L2 ball of the given radius (max-norm
+    factorization constraint)."""
+    norms = np.linalg.norm(Z, axis=-1, keepdims=True)
+    scale = np.minimum(norms, radius) / np.maximum(norms, 1e-30)
+    return Z * scale
 
 
 # --------------------------------------------------------------------------
@@ -262,4 +284,108 @@ def make_phase_retrieval(m: int = 16384, n: int = 256, delta: float = 0.1,
         x0_hat=x0_hat, delta=delta, mu=0.0, seed=seed,
         f=f, gradf=gradf, g=g, proxg=proxg,
         op=A, op_t=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# E6 — Democratic representations:  min ½‖Ax−b‖² + μ‖x‖∞
+#      (spread the signal energy democratically across a redundant frame;
+#      prox of the L∞ norm via L1-ball projection of the dual).
+# --------------------------------------------------------------------------
+
+def make_democratic(m: int = 256, n: int = 1024, mu: float = 3.0,
+                    seed: int = 6) -> dict:
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    b = rng.standard_normal(m)
+    x0 = np.zeros(n)
+    return dict(
+        name="democratic", A=A, b=b, x_true=None, x0=x0, mu=mu, seed=seed,
+        f=lambda d: 0.5 * np.linalg.norm(d - b) ** 2,
+        gradf=lambda d: d - b,
+        g=lambda x: mu * np.max(np.abs(x)) if x.size else 0.0,
+        proxg=lambda z, t: prox_linf(z, t * mu),
+        op=A, op_t=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# E7 — Multiple-measurement vector (MMV):  min ½‖AX−B‖²_F + μ‖X‖_{2,1}
+#      (joint row-sparse recovery; group shrink prox).
+# --------------------------------------------------------------------------
+
+def make_mmv(m: int = 400, n: int = 800, l: int = 10, k: int = 40,
+             mu: float = 0.2, sigma: float = 0.01, seed: int = 7) -> dict:
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    X_true = np.zeros((n, l))
+    support = rng.choice(n, size=k, replace=False)
+    X_true[support] = rng.standard_normal((k, l))
+    B = A @ X_true + sigma * rng.standard_normal((m, l))
+    X0 = np.zeros((n, l))
+    return dict(
+        name="mmv", A=A, b=B, x_true=X_true, x0=X0, mu=mu, seed=seed,
+        f=lambda D: 0.5 * np.linalg.norm((D - B).ravel()) ** 2,
+        gradf=lambda D: D - B,
+        g=lambda X: mu * np.sum(np.linalg.norm(X, axis=-1)),
+        proxg=lambda Z, t: shrink_rows(Z, t * mu),
+        op=lambda X: A @ X, op_t=lambda Y: A.T @ Y,
+    )
+
+
+# --------------------------------------------------------------------------
+# E8 — 1-bit (logistic) matrix completion:
+#      min Σ_{(i,j)∈Ω} log(1+exp(X_ij)) − Y_ij X_ij  +  μ‖X‖_*
+#      (low-rank logit matrix from observed signs; SVT prox; A = identity).
+# --------------------------------------------------------------------------
+
+def make_matrix_completion(d1: int = 200, d2: int = 200, rank: int = 5,
+                           obs_frac: float = 0.3, mu: float = 2.0,
+                           seed: int = 8) -> dict:
+    rng = np.random.default_rng(seed)
+    U = rng.standard_normal((d1, rank))
+    V = rng.standard_normal((d2, rank))
+    M = (U @ V.T) / np.sqrt(rank)
+    mask = (rng.random((d1, d2)) < obs_frac).astype(np.float64)
+    p = 1.0 / (1.0 + np.exp(-M))
+    Y = (rng.random((d1, d2)) < p).astype(np.float64) * mask
+    X0 = np.zeros((d1, d2))
+
+    def f(D):
+        loss = np.maximum(D, 0.0) + np.log1p(np.exp(-np.abs(D))) - Y * D
+        return float(np.sum(mask * loss))
+
+    def gradf(D):
+        return mask * (1.0 / (1.0 + np.exp(-D)) - Y)
+
+    return dict(
+        name="matrix_completion", A=None, b=Y, mask=mask, x_true=M, x0=X0,
+        mu=mu, seed=seed,
+        f=f, gradf=gradf,
+        g=lambda X: mu * np.sum(np.linalg.svd(X, compute_uv=False)),
+        proxg=lambda Z, t: svt(Z, t * mu),
+        op=None, op_t=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# E9 — Max-norm regularization:  min ½‖X−B‖²_F  s.t. max_i ‖X_i,:‖₂ ≤ c
+#      (the max-norm ball constraint on the stacked factor; rowwise
+#      L2-ball projection prox).
+# --------------------------------------------------------------------------
+
+def make_max_norm(d1: int = 300, d2: int = 60, radius: float = 1.0,
+                  seed: int = 9) -> dict:
+    rng = np.random.default_rng(seed)
+    X_true = project_max_row_norm(rng.standard_normal((d1, d2)), radius)
+    B = X_true + 0.1 * rng.standard_normal((d1, d2))
+    X0 = np.zeros((d1, d2))
+    return dict(
+        name="max_norm", A=None, b=B, x_true=X_true, x0=X0, mu=0.0,
+        radius=radius, seed=seed,
+        f=lambda D: 0.5 * np.linalg.norm((D - B).ravel()) ** 2,
+        gradf=lambda D: D - B,
+        g=lambda X: 0.0,
+        proxg=lambda Z, t: project_max_row_norm(Z, radius),
+        op=None, op_t=None,
     )
