@@ -1,0 +1,88 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: solver iterations/second on the BASELINE LASSO config
+(dense Gaussian A 1000×2000, adaptive BB mode, fp32, fixed iteration
+count so every run does identical work).  ``vs_baseline`` is the speedup
+over the float64 NumPy oracle running the same instance on this host's
+CPU — the reference implementation's measured rate (BASELINE.md: the
+oracle run *is* the baseline; the upstream publishes no numbers).
+
+Usage:  python bench.py            # full benchmark (TPU if available)
+        python bench.py --quick    # reduced iteration counts (smoke)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_tpu(prob, opts, tau0: float, repeats: int = 3):
+    from fasta_tpu import make_solver
+
+    solve = make_solver(opts)
+    args = (prob.op, prob.fterm, prob.gterm, jnp.asarray(prob.x0),
+            jnp.asarray(tau0, jnp.float32))
+    # warmup / compile
+    jax.block_until_ready(solve(*args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = solve(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return opts.max_iters / best, best
+
+
+def bench_oracle(inst, tau0: float, iters: int):
+    from reference_oracle.fasta_numpy import fasta as fasta_np
+
+    t0 = time.perf_counter()
+    r = fasta_np(inst["op"], None, inst["f"], inst["gradf"], inst["g"],
+                 inst["proxg"], inst["x0"], tau0=tau0, max_iters=iters,
+                 stop_rule="iterations", tol=0.0)
+    dt = time.perf_counter() - t0
+    return r.iteration_count / dt
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import problems
+    from fasta_tpu import FastaOptions
+
+    iters = 100 if quick else 1000
+    oracle_iters = 50 if quick else 300
+
+    prob = problems.build("lasso")            # BASELINE: 1000x2000
+    tau0 = 0.05
+    opts = FastaOptions(max_iters=iters, stop_rule="iterations",
+                        adaptive=True, backtrack=True)
+
+    tpu_ips, best = bench_tpu(prob, opts, tau0)
+    oracle_ips = bench_oracle(prob.instance, tau0, oracle_iters)
+
+    m, n = prob.instance["A"].shape
+    # adaptive iteration = 2 passes over A (fwd + adjoint-grad).  At the
+    # baseline size A is VMEM-resident on current chips, so this is VMEM
+    # traffic, not HBM — rates far above the HBM roofline are expected.
+    bytes_per_iter = 2 * m * n * 4
+    gbps = tpu_ips * bytes_per_iter / 1e9
+
+    result = {
+        "metric": "lasso_1000x2000_adaptive_iters_per_sec",
+        "value": round(tpu_ips, 1),
+        "unit": "iterations/s",
+        "vs_baseline": round(tpu_ips / oracle_ips, 2),
+    }
+    print(json.dumps(result))
+    print(f"# detail: best_wall={best:.4f}s for {iters} iters; "
+          f"oracle={oracle_ips:.1f} it/s; est. matvec traffic "
+          f"{gbps:.1f} GB/s (VMEM-resident at this size)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

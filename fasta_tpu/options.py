@@ -57,6 +57,11 @@ class FastaOptions:
     record_objective: bool = False
     record_iterates: bool = False
     verbose: bool = False
+    # TPU fast path: let the smooth term provide a fused one-pass
+    # (d, f, grad) evaluation (Pallas kernel on TPU, mathematically
+    # identical two-pass XLA fallback elsewhere).  Purely an execution
+    # strategy — iteration math is unchanged.
+    fuse: bool = True
 
     # Mode precedence matches the oracle (fasta_numpy.py: ``if adaptive and
     # not accelerate ... elif accelerate``): acceleration wins when both are

@@ -176,6 +176,14 @@ def _make_solve_fn(opts: FastaOptions):
         rdt = _real_dtype(x0.dtype)
         tau0 = jnp.asarray(tau0, rdt)
 
+        # Optional fused one-pass (d, f, Aᴴ∇f) evaluation (TPU hot path).
+        fused = fterm.fused_gradmap(op) if opts.fuse else None
+        # Zero-matvec FISTA gradient extrapolation: valid when ∇f is
+        # affine in d AND the gradient at the prox point comes free from
+        # the fused pass.
+        affine_accel = (accelerated and fused is not None
+                        and fterm.grad_affine)
+
         d0 = op(x0)
         f0 = fterm.value(d0).astype(rdt)
         gradf0 = op.rmatvec(fterm.grad(d0))
@@ -206,7 +214,9 @@ def _make_solve_fn(opts: FastaOptions):
             min_objective=jnp.asarray(jnp.inf, rdt),
             max_residual=jnp.asarray(-jnp.inf, rdt),
             total_bt=jnp.zeros((), jnp.int32),
-            accel=((x0, d0, jnp.ones((), rdt)) if accelerated else None),
+            accel=(((x0, d0, gradf0, jnp.ones((), rdt)) if affine_accel
+                    else (x0, d0, jnp.ones((), rdt)))
+                   if accelerated else None),
             diags=diags,
         )
 
@@ -216,16 +226,24 @@ def _make_solve_fn(opts: FastaOptions):
         def body(s: SolverState) -> SolverState:
             x0_, gradf0_, tau = s.x1, s.gradf1, s.tau1
 
-            # 1–3: forward (gradient) step, backward (prox) step
+            # 1–3: forward (gradient) step, backward (prox) step.  With a
+            # fused gradmap the gradient at the trial point rides along in
+            # the same operator pass (grad1); otherwise it is evaluated
+            # lazily in the mode update below.
             def fb_step(tau):
                 x1hat = x0_ - tau * gradf0_
                 x1 = gterm.prox(x1hat, tau)
                 Dx = x1 - x0_
-                d1 = op(x1)
-                f1 = fterm.value(d1).astype(rdt)
-                return x1hat, x1, Dx, d1, f1
+                if fused is not None:
+                    d1, f1, grad1 = fused(x1)
+                    f1 = f1.astype(rdt)
+                else:
+                    d1 = op(x1)
+                    f1 = fterm.value(d1).astype(rdt)
+                    grad1 = None
+                return x1hat, x1, Dx, d1, f1, grad1
 
-            x1hat, x1, Dx, d1, f1 = fb_step(tau)
+            x1hat, x1, Dx, d1, f1, grad1 = fb_step(tau)
             bt = jnp.zeros((), jnp.int32)
 
             # 4: nonmonotone backtracking line search (Zhang–Hager window)
@@ -233,7 +251,7 @@ def _make_solve_fn(opts: FastaOptions):
                 M = jnp.max(s.fwin)
 
                 def bt_cond(c):
-                    tau_c, _x1hat, _x1, Dx_c, _d1, f1_c, bt_c = c
+                    tau_c, _x1hat, _x1, Dx_c, _d1, f1_c, _g1, bt_c = c
                     suff = (M + _redot(Dx_c, gradf0_)
                             + _norm2(Dx_c) / (2.0 * tau_c))
                     return (f1_c - 1e-12 > suff) & (bt_c < opts.max_backtracks)
@@ -241,11 +259,11 @@ def _make_solve_fn(opts: FastaOptions):
                 def bt_body(c):
                     tau_c, *_, bt_c = c
                     tau_n = tau_c * shrink_f
-                    x1hat_n, x1_n, Dx_n, d1_n, f1_n = fb_step(tau_n)
-                    return (tau_n, x1hat_n, x1_n, Dx_n, d1_n, f1_n, bt_c + 1)
+                    return (tau_n,) + fb_step(tau_n) + (bt_c + 1,)
 
-                tau, x1hat, x1, Dx, d1, f1, bt = jax.lax.while_loop(
-                    bt_cond, bt_body, (tau, x1hat, x1, Dx, d1, f1, bt))
+                tau, x1hat, x1, Dx, d1, f1, grad1, bt = jax.lax.while_loop(
+                    bt_cond, bt_body,
+                    (tau, x1hat, x1, Dx, d1, f1, grad1, bt))
 
             # 5: residuals, diagnostics, best-iterate tracking (C4/C5)
             res = _norm(Dx) / tau
@@ -262,14 +280,13 @@ def _make_solve_fn(opts: FastaOptions):
                 residuals=d_.residuals.at[k].set(res),
                 norm_residuals=d_.norm_residuals.at[k].set(nres),
                 taus=d_.taus.at[k].set(tau),
-                fvals=d_.fvals.at[k].set(f1),
+                fvals=d_.fvals,          # written post-mode-update below
                 objectives=(d_.objectives.at[k].set(obj)
                             if opts.record_objective else None),
                 backtracks=d_.backtracks.at[k].set(bt),
                 iterates=(d_.iterates.at[k].set(x1)
                           if opts.record_iterates else None),
             )
-            fwin = s.fwin.at[(k + 1) % W].set(f1)
 
             new_obj = obj if opts.record_objective else res
             better = new_obj < s.min_objective
@@ -299,7 +316,8 @@ def _make_solve_fn(opts: FastaOptions):
             # stopping iteration (the loop exits before using it) — keeps
             # the body branch-free; costs one matvec on the final iter.
             if adaptive:
-                gradf1 = op.rmatvec(fterm.grad(d1))
+                gradf1 = grad1 if fused is not None \
+                    else op.rmatvec(fterm.grad(d1))
                 Dg = gradf1 + (x1hat - x0_) / tau       # == gradf1 - gradf0
                 dotprod = _redot(Dx, Dg)
                 nDx2 = _norm2(Dx)
@@ -314,7 +332,10 @@ def _make_solve_fn(opts: FastaOptions):
                 tau_next = jnp.where(bad, tau * 1.5, tau_next)
                 x_next, gradf_next, accel_next = x1, gradf1, None
             elif accelerated:
-                x_accel0, d_accel0, alpha0 = s.accel
+                if affine_accel:
+                    x_accel0, d_accel0, gradfx_accel0, alpha0 = s.accel
+                else:
+                    x_accel0, d_accel0, alpha0 = s.accel
                 # O'Donoghue–Candès gradient-based adaptive restart
                 if opts.restart:
                     rst = _redot(x0_ - x1, x1 - x_accel0) > 0.0
@@ -323,13 +344,37 @@ def _make_solve_fn(opts: FastaOptions):
                 beta = ((alpha0 - 1.0) / alpha1).astype(rdt)
                 x_next = x1 + beta * (x1 - x_accel0)
                 d_next = d1 + beta * (d1 - d_accel0)    # A is linear
-                gradf_next = op.rmatvec(fterm.grad(d_next))
+                if affine_accel:
+                    # ∇f affine in d  ⇒  Aᴴ∇f(d) is affine in d too, so
+                    # the extrapolated gradient map is the same affine
+                    # combination — zero extra matvecs per iteration.
+                    gradf_next = grad1 + beta * (grad1 - gradfx_accel0)
+                    accel_next = (x1, d1, grad1, alpha1)
+                else:
+                    gradf_next = op.rmatvec(fterm.grad(d_next))
+                    accel_next = (x1, d1, alpha1)
                 tau_next = tau
-                accel_next = (x1, d1, alpha1)
+                # The nonmonotone window must see f at the NEXT search
+                # point — the extrapolated y, NOT the prox point — or
+                # f(y) can sit above the window max and backtracking
+                # collapses tau to zero (descent-lemma termination needs
+                # the window to dominate f at the expansion point).
+                # O(m) elementwise; no matvec.  On a converged stop the
+                # loop exits, so the prox-point value is recorded
+                # (oracle break semantics).
+                f_record = jnp.where(stop, f1,
+                                     fterm.value(d_next).astype(rdt))
             else:
-                gradf_next = op.rmatvec(fterm.grad(d1))
+                gradf_next = grad1 if fused is not None \
+                    else op.rmatvec(fterm.grad(d1))
                 tau_next = tau
                 x_next, accel_next = x1, None
+
+            if not accelerated:
+                f_record = f1
+            fwin = s.fwin.at[(k + 1) % W].set(f_record)
+            new_diags = new_diags._replace(
+                fvals=new_diags.fvals.at[k].set(f_record))
 
             # Oracle solution semantics: on a converged stop the loop
             # breaks at the prox iterate; at max-iters exhaustion the last

@@ -42,11 +42,22 @@ __all__ = [
 # --------------------------------------------------------------------------
 
 class SmoothTerm:
+    # True when ∇f is affine in d (quadratic f): enables the solver's
+    # zero-matvec FISTA extrapolation of the gradient map.
+    grad_affine = False
+
     def value(self, d):
         raise NotImplementedError
 
     def grad(self, d):
         raise NotImplementedError
+
+    def fused_gradmap(self, op):
+        """Optional fused evaluation  x ↦ (d, f(d), Aᴴ∇f(d))  in one
+        operator pass.  Return None when no fusion applies (the solver
+        then uses the lazy two-call path)."""
+        del op
+        return None
 
     def tree_flatten(self):
         return (), None
@@ -61,6 +72,8 @@ class SmoothTerm:
 class LeastSquares(SmoothTerm):
     """f(d) = ½‖d − b‖²  (complex-safe Hermitian norm)."""
 
+    grad_affine = True
+
     def __init__(self, b):
         self.b = b
 
@@ -70,6 +83,24 @@ class LeastSquares(SmoothTerm):
 
     def grad(self, d):
         return d - self.b
+
+    def fused_gradmap(self, op):
+        """One-pass (Ax, ½‖Ax−b‖², Aᴴ(Ax−b)) for dense real operators:
+        Pallas streaming kernel on TPU (half the HBM traffic of the
+        two-pass formulation), exact-graph XLA fallback elsewhere."""
+        from .operators import DenseOp
+        if not isinstance(op, DenseOp):
+            return None
+        A = op.A
+        if A.ndim != 2 or jnp.issubdtype(A.dtype, jnp.complexfloating) \
+                or jnp.asarray(self.b).ndim != 1:
+            return None
+        from .kernels import (fused_lstsq_gradmap, lstsq_gradmap_reference,
+                              supports_fusion)
+        m, n = A.shape
+        if supports_fusion(m, n, A.dtype):
+            return lambda x: fused_lstsq_gradmap(A, x, self.b)
+        return lambda x: lstsq_gradmap_reference(A, x, self.b)
 
     def tree_flatten(self):
         return (self.b,), None

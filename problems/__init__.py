@@ -36,5 +36,6 @@ def register(name: str):
 def build(name: str, **kwargs):
     """Construct a named problem instance: ``build('lasso', m=..., ...)``."""
     from . import (lasso, nnls, logistic, tv, phase_retrieval,  # noqa: F401
-                   democratic, mmv, matrix_completion, max_norm)
+                   phase_retrieval_cdp, democratic, mmv,
+                   matrix_completion, max_norm)
     return REGISTRY[name](**kwargs)

@@ -34,7 +34,11 @@ Algorithm spec (one iteration, mirroring the state carried by the solver):
     x1hat = x0 - tau0 * gradf0
     x1    = proxg(x1hat, tau0)
     Dx    = x1 - x0 ;  d1 = A x1 ;  f1 = f(d1)
-    [backtrack]  M = max(last W recorded f-values)
+    [backtrack]  M = max(last W recorded f-values); the recorded value is
+                 f at the SEARCH point entering the next iteration (the
+                 extrapolated y when accelerating, the prox point
+                 otherwise) — this is what makes the nonmonotone test
+                 terminate for tau <= 1/L (descent lemma at y)
         while f1 - 1e-12 > M + Re<Dx, gradf0> + ||Dx||^2/(2 tau0)
               and count < max_backtracks:
             tau0 *= stepsize_shrink ; redo x1hat, x1, Dx, d1, f1
@@ -309,8 +313,7 @@ def fasta(
         normalizer = max(_norm(gradf0), _norm(x1 - x1hat) / tau_i) + eps_n
         nres = res / normalizer
         norm_residuals[i] = nres
-        fvals[i] = f1
-        fwin[(i + 1) % window] = f1
+        fvals[i] = f1           # overwritten post-accel (window semantics)
         if record_objective:
             obj = f1 + float(g(x1))
             objectives[i] = obj
@@ -340,6 +343,7 @@ def fasta(
         if stop:
             converged = True
             n_done = i + 1
+            fwin[(i + 1) % window] = f1
             break
 
         # --- mode-specific updates ----------------------------------------
@@ -369,10 +373,18 @@ def fasta(
             d1 = d_accel1 + beta * (d_accel1 - d_accel0)  # A is linear
             gradf1 = Atfun(gradf(d1))
             f1 = float(f(d1))
-            tau1 = tau_i
+            fvals[i] = f1        # window records f at the NEXT search
+            tau1 = tau_i         # point y_{k+1} (see module docstring)
         else:
             gradf1 = Atfun(gradf(d1))
             tau1 = tau_i
+
+        # Nonmonotone-window entry: f at the next search point.  In the
+        # accelerated mode this is the EXTRAPOLATED point — the descent
+        # lemma then guarantees the next backtracking loop terminates at
+        # tau <= 1/L (recording the prox-point f instead lets f(y) sit
+        # above the window max and collapses tau to zero).
+        fwin[(i + 1) % window] = f1
 
     solve_time = time.perf_counter() - t_start
     k = n_done

@@ -26,8 +26,9 @@ __all__ = [
     "shrink", "project_nonneg", "project_box", "project_l1_ball", "svt",
     "prox_linf", "shrink_rows", "project_max_row_norm",
     "make_lasso", "make_nnls", "make_logistic", "make_tv",
-    "make_phase_retrieval", "make_democratic", "make_mmv",
-    "make_matrix_completion", "make_max_norm", "tv_grad_2d", "tv_div_2d",
+    "make_phase_retrieval", "make_phase_retrieval_cdp", "make_democratic",
+    "make_mmv", "make_matrix_completion", "make_max_norm", "tv_grad_2d",
+    "tv_div_2d",
 ]
 
 
@@ -284,6 +285,60 @@ def make_phase_retrieval(m: int = 16384, n: int = 256, delta: float = 0.1,
         x0_hat=x0_hat, delta=delta, mu=0.0, seed=seed,
         f=f, gradf=gradf, g=g, proxg=proxg,
         op=A, op_t=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# E5b — Coded-diffraction phase retrieval: b = |F(m_k ⊙ x)| for K random
+#       modulation masks m_k (structured operator — no dense matrix).
+#       Same PhaseMax hinge objective as E5; the operator is a stack of
+#       modulated unitary FFTs with exact adjoint conj(m_k)⊙IFFT.
+# --------------------------------------------------------------------------
+
+def make_phase_retrieval_cdp(n: int = 256, K: int = 8, delta: float = 0.1,
+                             anchor_noise: float = 0.5,
+                             seed: int = 10) -> dict:
+    rng = np.random.default_rng(seed)
+    # random phase masks (unit magnitude)
+    masks = np.exp(2j * np.pi * rng.random((K, n)))
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+
+    def op(x):
+        return np.stack([np.fft.fft(m * x, norm="ortho") for m in masks])
+
+    def op_t(Y):
+        out = np.zeros(n, dtype=complex)
+        for k in range(K):
+            out += np.conj(masks[k]) * np.fft.ifft(Y[k], norm="ortho")
+        return out
+
+    b = np.abs(op(x_true))
+    x0_hat = x_true + (anchor_noise * np.linalg.norm(x_true) / np.sqrt(2 * n)
+                       ) * (rng.standard_normal(n)
+                            + 1j * rng.standard_normal(n))
+    x0_hat /= np.linalg.norm(x0_hat)
+    x0 = x0_hat.copy()
+
+    def f(d):
+        r = np.maximum(np.abs(d) - b, 0.0)
+        return 0.5 * float(np.sum(r * r))
+
+    def gradf(d):
+        mag = np.abs(d)
+        r = np.maximum(mag - b, 0.0)
+        return r * d / np.maximum(mag, 1e-30)
+
+    def g(x):
+        return -delta * float(np.real(np.vdot(x0_hat, x)))
+
+    def proxg(z, t):
+        return z + t * delta * x0_hat
+
+    return dict(
+        name="phase_retrieval_cdp", masks=masks, b=b, x_true=x_true, x0=x0,
+        x0_hat=x0_hat, delta=delta, mu=0.0, seed=seed,
+        f=f, gradf=gradf, g=g, proxg=proxg,
+        op=op, op_t=op_t,
     )
 
 

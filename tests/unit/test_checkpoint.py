@@ -1,0 +1,41 @@
+"""Checkpoint/resume: pytree save/load roundtrip and warm restart."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import problems
+from fasta_tpu import checkpoint as ckpt
+
+
+def test_pytree_roundtrip(tmp_path):
+    prob = problems.build("lasso", m=64, n=96, k=8, dtype=jnp.float64)
+    prob.tau0 = 0.05
+    r = prob.solve(tol=1e-8, max_iters=30)
+    path = str(tmp_path / "result.npz")
+    ckpt.save_pytree(r.__dict__, path)
+    loaded = ckpt.load_pytree(r.__dict__, path)
+    np.testing.assert_allclose(loaded["solution"], r.solution)
+    np.testing.assert_allclose(loaded["taus"], r.taus)
+
+
+def test_resume_continues_progress():
+    prob = problems.build("lasso", m=64, n=96, k=8, dtype=jnp.float64)
+    prob.tau0 = 0.05
+    r1 = prob.solve(tol=1e-12, max_iters=10, record_objective=True)
+    r2 = ckpt.resume(prob, r1, tol=1e-12, max_iters=10,
+                     record_objective=True)
+    # warm restart must not regress the objective
+    assert r2.objectives[-1] <= r1.objectives[-1] + 1e-9
+    # and it starts from the prior solution
+    assert r2.initial_tau == float(r1.taus[-1])
+
+
+def test_complex_pytree_roundtrip(tmp_path):
+    prob = problems.build("phase_retrieval", m=128, n=8,
+                          dtype=jnp.complex128)
+    prob.tau0 = 1.0
+    r = prob.solve(tol=1e-6, max_iters=10)
+    path = str(tmp_path / "c.npz")
+    ckpt.save_pytree({"x": r.solution}, path)
+    loaded = ckpt.load_pytree({"x": r.solution}, path)
+    np.testing.assert_allclose(loaded["x"], r.solution)
