@@ -19,7 +19,7 @@ Public surface:
   sharding          — mesh construction + row-sharded problem placement
 """
 
-from . import operators, prox, smooth, terms
+from . import checkpoint, operators, plotting, profiling, prox, smooth, terms
 from .operators import (
     LinearOp, DenseOp, IdentityOp, FunctionOp, TVGrad2D, TVDiv2D,
     MaskedFourierOp, DiagonalOp, ScaledOp, ComposeOp, StackedOp,
@@ -27,28 +27,30 @@ from .operators import (
 )
 from .options import FastaOptions, STOP_RULES
 from .solver import (
-    fasta, solve, make_solver, estimate_stepsize, FastaResult,
-    DeviceResult, SolverState, Diagnostics,
+    fasta, solve, make_solver, make_batch_solver, estimate_stepsize,
+    FastaResult, DeviceResult, SolverState, Diagnostics,
 )
 from .terms import (
     SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge,
-    FunctionSmooth, ProxTerm, L1Norm, LinfNorm, L21Norm, NuclearNorm,
-    NonnegIndicator, BoxIndicator, LinfBallIndicator, MaxRowNormBall,
-    LinearAnchor, ZeroTerm, FunctionProx, as_smooth_term, as_prox_term,
+    SquaredHinge, FunctionSmooth, ProxTerm, L1Norm, LinfNorm, L21Norm,
+    NuclearNorm, NonnegIndicator, BoxIndicator, LinfBallIndicator,
+    MaxRowNormBall, LinearAnchor, L2Norm2, ZeroTerm, FunctionProx,
+    as_smooth_term, as_prox_term,
 )
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "fasta", "solve", "make_solver", "estimate_stepsize", "FastaResult",
-    "DeviceResult", "SolverState", "Diagnostics", "FastaOptions",
-    "STOP_RULES", "LinearOp", "DenseOp", "IdentityOp", "FunctionOp",
-    "TVGrad2D", "TVDiv2D", "MaskedFourierOp", "DiagonalOp", "ScaledOp",
-    "ComposeOp", "StackedOp", "as_linear_op", "check_adjoint",
-    "SmoothTerm", "LeastSquares", "Logistic", "MaskedLogistic",
-    "PhaseHinge", "FunctionSmooth", "ProxTerm", "L1Norm", "LinfNorm",
-    "L21Norm", "NuclearNorm", "NonnegIndicator", "BoxIndicator",
-    "LinfBallIndicator", "MaxRowNormBall", "LinearAnchor", "ZeroTerm",
-    "FunctionProx", "as_smooth_term", "as_prox_term",
-    "operators", "prox", "smooth", "terms",
+    "fasta", "solve", "make_solver", "make_batch_solver",
+    "estimate_stepsize", "FastaResult", "DeviceResult", "SolverState",
+    "Diagnostics", "FastaOptions", "STOP_RULES", "LinearOp", "DenseOp",
+    "IdentityOp", "FunctionOp", "TVGrad2D", "TVDiv2D", "MaskedFourierOp",
+    "DiagonalOp", "ScaledOp", "ComposeOp", "StackedOp", "as_linear_op",
+    "check_adjoint", "SmoothTerm", "LeastSquares", "Logistic",
+    "MaskedLogistic", "PhaseHinge", "SquaredHinge", "FunctionSmooth",
+    "ProxTerm", "L1Norm", "LinfNorm", "L21Norm", "NuclearNorm",
+    "NonnegIndicator", "BoxIndicator", "LinfBallIndicator",
+    "MaxRowNormBall", "LinearAnchor", "L2Norm2", "ZeroTerm",
+    "FunctionProx", "as_smooth_term", "as_prox_term", "checkpoint",
+    "operators", "plotting", "profiling", "prox", "smooth", "terms",
 ]

@@ -47,8 +47,9 @@ from .options import FastaOptions
 from .terms import ProxTerm, SmoothTerm, as_prox_term, as_smooth_term
 
 __all__ = [
-    "fasta", "solve", "make_solver", "estimate_stepsize", "FastaResult",
-    "DeviceResult", "SolverState", "Diagnostics",
+    "fasta", "solve", "make_solver", "make_batch_solver",
+    "estimate_stepsize", "FastaResult", "DeviceResult", "SolverState",
+    "Diagnostics",
 ]
 
 
@@ -431,6 +432,23 @@ def solve(op: LinearOp, fterm: SmoothTerm, gterm: ProxTerm, x0, tau0,
           opts: Optional[FastaOptions] = None) -> DeviceResult:
     """Device-side solve — thin wrapper over ``make_solver``."""
     return make_solver(opts or FastaOptions())(op, fterm, gterm, x0, tau0)
+
+
+def make_batch_solver(opts: FastaOptions, in_axes):
+    """vmap'd solver: solve a whole family of instances in one compiled
+    executable — e.g. a regularization-path sweep (μ batched in the prox
+    term) or many right-hand sides (b batched in the smooth term).
+
+    ``in_axes`` is the vmap axis spec for ``(op, fterm, gterm, x0,
+    tau0)`` — pytree prefixes work, e.g.
+    ``(None, None, L1Norm(0), None, None)`` to sweep μ only.
+    A TPU-native capability with no reference analog: the batch runs as
+    one fused program, saturating the chip with small instances; the
+    batched ``lax.while_loop`` freezes converged instances until the
+    last one stops.
+    """
+    fn = _make_solve_fn(opts)
+    return jax.jit(jax.vmap(fn, in_axes=in_axes))
 
 
 def fasta(

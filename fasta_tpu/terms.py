@@ -33,7 +33,8 @@ __all__ = [
     "FunctionSmooth", "ProxTerm", "L1Norm", "NonnegIndicator",
     "BoxIndicator", "LinfBallIndicator", "LinearAnchor", "NuclearNorm",
     "L21Norm", "LinfNorm", "MaxRowNormBall", "ZeroTerm", "FunctionProx",
-    "as_smooth_term", "as_prox_term", "MaskedLogistic",
+    "as_smooth_term", "as_prox_term", "MaskedLogistic", "SquaredHinge",
+    "L2Norm2",
 ]
 
 
@@ -185,6 +186,30 @@ class PhaseHinge(SmoothTerm):
 
 
 @jax.tree_util.register_pytree_node_class
+class SquaredHinge(SmoothTerm):
+    """SVM squared hinge:  f(d) = ½ Σ max(0, 1 − y⊙d)²,
+    ∇f(d) = −y⊙max(0, 1 − y⊙d);  labels y ∈ {−1, +1}."""
+
+    def __init__(self, y):
+        self.y = y
+
+    def value(self, d):
+        r = jnp.maximum(0.0, 1.0 - self.y * d)
+        return 0.5 * jnp.sum(r * r)
+
+    def grad(self, d):
+        r = jnp.maximum(0.0, 1.0 - self.y * d)
+        return -self.y * r
+
+    def tree_flatten(self):
+        return (self.y,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
 class FunctionSmooth(SmoothTerm):
     """Wrap raw (f, gradf) callables — reference-style closures.  The
     callables are static aux data (arrays they capture are baked into the
@@ -231,9 +256,13 @@ class ProxTerm:
 
 @jax.tree_util.register_pytree_node_class
 class L1Norm(ProxTerm):
-    """g = μ‖·‖₁; prox = soft threshold (shrink)."""
+    """g = μ‖·‖₁; prox = soft threshold (shrink).
 
-    def __init__(self, mu: float = 1.0):
+    μ is a pytree LEAF (data, not static config): a batch of μ values can
+    be vmapped for single-compile hyperparameter sweeps (solver.py
+    make_batch_solver)."""
+
+    def __init__(self, mu=1.0):
         self.mu = mu
 
     def value(self, x):
@@ -243,12 +272,11 @@ class L1Norm(ProxTerm):
         return _prox.shrink(z, t * self.mu)
 
     def tree_flatten(self):
-        return (), (self.mu,)
+        return (self.mu,), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del children
-        return cls(aux[0])
+        return cls(children[0])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -420,6 +448,27 @@ class LinearAnchor(ProxTerm):
 
     def tree_flatten(self):
         return (self.c,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class L2Norm2(ProxTerm):
+    """g = (λ/2)‖·‖² (ridge/Tikhonov); prox(z,t) = z/(1+tλ)."""
+
+    def __init__(self, lam=1.0):
+        self.lam = lam
+
+    def value(self, x):
+        return 0.5 * self.lam * jnp.real(jnp.vdot(x, x))
+
+    def prox(self, z, t):
+        return z / (1.0 + t * self.lam)
+
+    def tree_flatten(self):
+        return (self.lam,), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

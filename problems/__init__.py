@@ -37,5 +37,5 @@ def build(name: str, **kwargs):
     """Construct a named problem instance: ``build('lasso', m=..., ...)``."""
     from . import (lasso, nnls, logistic, tv, phase_retrieval,  # noqa: F401
                    phase_retrieval_cdp, democratic, mmv,
-                   matrix_completion, max_norm)
+                   matrix_completion, max_norm, svm)
     return REGISTRY[name](**kwargs)

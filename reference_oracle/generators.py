@@ -27,8 +27,8 @@ __all__ = [
     "prox_linf", "shrink_rows", "project_max_row_norm",
     "make_lasso", "make_nnls", "make_logistic", "make_tv",
     "make_phase_retrieval", "make_phase_retrieval_cdp", "make_democratic",
-    "make_mmv", "make_matrix_completion", "make_max_norm", "tv_grad_2d",
-    "tv_div_2d",
+    "make_mmv", "make_matrix_completion", "make_max_norm", "make_svm",
+    "tv_grad_2d", "tv_div_2d",
 ]
 
 
@@ -420,6 +420,40 @@ def make_matrix_completion(d1: int = 200, d2: int = 200, rank: int = 5,
         g=lambda X: mu * np.sum(np.linalg.svd(X, compute_uv=False)),
         proxg=lambda Z, t: svt(Z, t * mu),
         op=None, op_t=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# E10 — Linear SVM (squared hinge):
+#       min ½ Σ max(0, 1 − y_i·(Ax)_i)² + λ/2‖x‖²
+#       smooth squared hinge as f; g = λ/2‖·‖² with prox z/(1+tλ).
+# --------------------------------------------------------------------------
+
+def make_svm(m: int = 800, n: int = 100, lam: float = 0.01,
+             seed: int = 11) -> dict:
+    rng = np.random.default_rng(seed)
+    w_true = rng.standard_normal(n)
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    margin = A @ w_true
+    y = np.sign(margin + 0.3 * rng.standard_normal(m))
+    y[y == 0] = 1.0
+    x0 = np.zeros(n)
+
+    def f(d):
+        r = np.maximum(0.0, 1.0 - y * d)
+        return 0.5 * float(np.sum(r * r))
+
+    def gradf(d):
+        r = np.maximum(0.0, 1.0 - y * d)
+        return -y * r
+
+    return dict(
+        name="svm", A=A, b=y, x_true=w_true, x0=x0, mu=lam, lam=lam,
+        seed=seed,
+        f=f, gradf=gradf,
+        g=lambda x: 0.5 * lam * float(np.dot(x, x)),
+        proxg=lambda z, t: z / (1.0 + t * lam),
+        op=A, op_t=None,
     )
 
 

@@ -35,6 +35,7 @@ CASES = {
     "matrix_completion": (dict(d1=30, d2=30, rank=2), 1.0,
                           dict(tol=1e-7, max_iters=80)),
     "max_norm": (dict(d1=40, d2=8), 0.5, dict(tol=1e-9, max_iters=80)),
+    "svm": (dict(m=120, n=30), 0.3, dict(tol=1e-8, max_iters=150)),
 }
 
 MODES = {
