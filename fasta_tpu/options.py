@@ -62,6 +62,10 @@ class FastaOptions:
     # identical two-pass XLA fallback elsewhere).  Purely an execution
     # strategy — iteration math is unchanged.
     fuse: bool = True
+    # Device-side sanitizer (SURVEY.md §5): halt the loop the moment the
+    # objective or residual goes NaN/Inf and flag it in the result —
+    # instead of burning the remaining iterations on garbage.
+    guard_nonfinite: bool = False
 
     # Mode precedence matches the oracle (fasta_numpy.py: ``if adaptive and
     # not accelerate ... elif accelerate``): acceleration wins when both are

@@ -95,6 +95,7 @@ class SolverState(NamedTuple):
     max_residual: Any
     total_bt: Any
     accel: Any             # (x_accel1, d_accel1, alpha1) or None
+    nonfinite: Any         # sanitizer flag (guard_nonfinite)
     diags: Diagnostics
 
 
@@ -112,6 +113,7 @@ class DeviceResult(NamedTuple):
     backtracks: Any
     total_backtracks: Any
     iterates: Any
+    nonfinite: Any
 
 
 @dataclass
@@ -134,6 +136,7 @@ class FastaResult:
     L_estimate: Optional[float]
     initial_tau: float
     iterates: Optional[np.ndarray] = None
+    nonfinite: bool = False
 
 
 def estimate_stepsize(op: LinearOp, fterm: SmoothTerm, x0, key) -> tuple:
@@ -218,6 +221,7 @@ def _make_solve_fn(opts: FastaOptions):
             accel=(((x0, d0, gradf0, jnp.ones((), rdt)) if affine_accel
                     else (x0, d0, jnp.ones((), rdt)))
                    if accelerated else None),
+            nonfinite=jnp.zeros((), jnp.bool_),
             diags=diags,
         )
 
@@ -313,6 +317,13 @@ def _make_solve_fn(opts: FastaOptions):
             else:  # "iterations"
                 stop = jnp.zeros((), jnp.bool_)
 
+            # sanitizer: stop on NaN/Inf rather than iterating on garbage
+            if opts.guard_nonfinite:
+                bad = ~(jnp.isfinite(f1) & jnp.isfinite(res))
+                stop = stop | bad
+            else:
+                bad = s.nonfinite    # stays False
+
             # 6/7: mode-specific next-point update.  Computed even on the
             # stopping iteration (the loop exits before using it) — keeps
             # the body branch-free; costs one matvec on the final iter.
@@ -388,7 +399,7 @@ def _make_solve_fn(opts: FastaOptions):
                 tau1=tau_next, fwin=fwin, solution=solution, best_x=best_x,
                 min_objective=min_obj, max_residual=max_res,
                 total_bt=s.total_bt + bt, accel=accel_next,
-                diags=new_diags)
+                nonfinite=bad, diags=new_diags)
 
         final = jax.lax.while_loop(cond, body, state)
 
@@ -396,7 +407,7 @@ def _make_solve_fn(opts: FastaOptions):
             solution=final.solution,
             best_iterate=final.best_x,
             iteration_count=final.k,
-            converged=final.stop,
+            converged=final.stop & ~final.nonfinite,
             residuals=final.diags.residuals,
             norm_residuals=final.diags.norm_residuals,
             taus=final.diags.taus,
@@ -405,6 +416,7 @@ def _make_solve_fn(opts: FastaOptions):
             backtracks=final.diags.backtracks,
             total_backtracks=final.total_bt,
             iterates=final.diags.iterates,
+            nonfinite=final.nonfinite,
         )
 
     return solve
@@ -525,4 +537,5 @@ def fasta(
         initial_tau=initial_tau,
         iterates=(np.asarray(out.iterates)[:k]
                   if out.iterates is not None else None),
+        nonfinite=bool(out.nonfinite),
     )
