@@ -46,7 +46,8 @@ from .problem import Problem
 
 __all__ = [
     "make_mesh", "shard_problem", "RowShardedDenseOp",
-    "replicate", "shard_rows",
+    "replicate", "shard_rows", "sharded_lstsq_gradmap",
+    "sharded_phase_hinge_gradmap",
 ]
 
 
@@ -125,6 +126,56 @@ class RowShardedDenseOp(LinearOp):
         return cls(children[0], *aux)
 
 
+def sharded_lstsq_gradmap(op: "RowShardedDenseOp", b):
+    """Fused sharded least-squares gradmap:
+    x ↦ (Ax, ½‖Ax−b‖², Aᴴ(Ax−b)) as ONE shard_map region per call —
+    the entire measurement-space computation stays device-local and the
+    only communication is a single fused psum of (f_partial, g_partial)
+    over the mesh axis.  This is the optimal collective pattern for the
+    row-sharded iteration (SURVEY.md §2.3): zero communication on the
+    forward leg, one all-reduce on the adjoint leg.
+
+    ``b`` must carry the same row sharding as ``op.A`` (shard_problem
+    guarantees this).
+    """
+    ax = op.axis_name
+
+    def local(A_blk, b_blk, x_rep):
+        d_blk = A_blk @ x_rep
+        r = d_blk - b_blk
+        f_part = 0.5 * jnp.real(jnp.vdot(r, r))
+        g_part = A_blk.conj().T @ r
+        f, g = jax.lax.psum((f_part, g_part), ax)
+        return d_blk, f, g
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(ax, None), P(ax), P()),
+                   out_specs=(P(ax), P(), P()))
+    return lambda x: fn(op.A, b, x)
+
+
+def sharded_phase_hinge_gradmap(op: "RowShardedDenseOp", b):
+    """Fused sharded PhaseMax-hinge gradmap (the flagship complex
+    16k-measurement config):  f(d)=½Σmax(|d|−b,0)² with Wirtinger
+    gradient, evaluated shard-locally with one psum for (f, Aᴴ∇f)."""
+    ax = op.axis_name
+
+    def local(A_blk, b_blk, x_rep):
+        d_blk = A_blk @ x_rep
+        mag = jnp.abs(d_blk)
+        r = jnp.maximum(mag - b_blk, 0.0)
+        f_part = 0.5 * jnp.sum(r * r)
+        grad_local = (r / jnp.maximum(mag, 1e-30)) * d_blk
+        g_part = A_blk.conj().T @ grad_local
+        f, g = jax.lax.psum((f_part, g_part), ax)
+        return d_blk, f, g
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(ax, None), P(ax), P()),
+                   out_specs=(P(ax), P(), P()))
+    return lambda x: fn(op.A, b, x)
+
+
 def _measurement_dim(problem: Problem) -> Optional[int]:
     """Leading dimension of the measurement space d = A x."""
     try:
@@ -136,15 +187,20 @@ def _measurement_dim(problem: Problem) -> Optional[int]:
 
 def shard_problem(problem: Problem, mesh: Mesh,
                   axis_name: str = "rows",
-                  explicit: bool = False) -> Problem:
+                  explicit: bool = True) -> Problem:
     """Place a problem on the mesh, row-sharded over measurements.
 
     Placement rule: any array leaf of the operator or smooth term whose
     leading dimension equals the measurement dimension ``m`` is sharded
     ``P(axis, None, …)``; every other leaf (prox-term anchors, x0 — all
-    signal-space) is replicated.  With ``explicit=True`` the DenseOp is
-    additionally wrapped in :class:`RowShardedDenseOp` so the matvec
-    collectives are hand-placed via shard_map rather than inferred.
+    signal-space) is replicated.  With ``explicit=True`` (the default)
+    a DenseOp is additionally wrapped in :class:`RowShardedDenseOp` so
+    the matvec collectives are hand-placed via shard_map — guaranteed
+    partitioned execution with exactly one psum on the adjoint leg (and,
+    for least-squares / phase-hinge smooth terms, a single fused
+    shard-local gradmap region per iteration).  ``explicit=False``
+    leaves collective placement to the XLA partitioner (GSPMD) — correct
+    everywhere, but some backends (notably CPU) choose to replicate.
 
     The measurement dim must divide the mesh size for an even layout;
     uneven sizes still work (XLA pads internally) but waste the remainder

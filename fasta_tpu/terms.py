@@ -86,10 +86,15 @@ class LeastSquares(SmoothTerm):
         return d - self.b
 
     def fused_gradmap(self, op):
-        """One-pass (Ax, ½‖Ax−b‖², Aᴴ(Ax−b)) for dense real operators:
-        Pallas streaming kernel on TPU (half the HBM traffic of the
-        two-pass formulation), exact-graph XLA fallback elsewhere."""
+        """One-pass (Ax, ½‖Ax−b‖², Aᴴ(Ax−b)) for dense operators:
+        row-sharded shard_map region with a single psum when the operator
+        is mesh-sharded; Pallas streaming kernel on single-chip TPU (half
+        the HBM traffic of the two-pass formulation); exact-graph XLA
+        fallback elsewhere."""
         from .operators import DenseOp
+        from .sharding import RowShardedDenseOp, sharded_lstsq_gradmap
+        if isinstance(op, RowShardedDenseOp):
+            return sharded_lstsq_gradmap(op, self.b)
         if not isinstance(op, DenseOp):
             return None
         A = op.A
@@ -176,6 +181,13 @@ class PhaseHinge(SmoothTerm):
         mag = jnp.abs(d)
         r = jnp.maximum(mag - self.b, 0.0)
         return (r / jnp.maximum(mag, 1e-30)) * d
+
+    def fused_gradmap(self, op):
+        from .sharding import (RowShardedDenseOp,
+                               sharded_phase_hinge_gradmap)
+        if isinstance(op, RowShardedDenseOp):
+            return sharded_phase_hinge_gradmap(op, self.b)
+        return None
 
     def tree_flatten(self):
         return (self.b,), None
