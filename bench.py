@@ -9,6 +9,9 @@ oracle run *is* the baseline; the upstream publishes no numbers).
 
 Usage:  python bench.py            # full benchmark (TPU if available)
         python bench.py --quick    # reduced iteration counts (smoke)
+        python bench.py --large    # HBM-bound config (512 MB operand):
+                                   # measures streaming bandwidth instead
+                                   # of the VMEM-resident baseline size
 """
 
 from __future__ import annotations
@@ -51,13 +54,22 @@ def bench_oracle(inst, tau0: float, iters: int):
 
 def main():
     quick = "--quick" in sys.argv
+    large = "--large" in sys.argv
     import problems
     from fasta_tpu import FastaOptions
 
-    iters = 100 if quick else 1000
-    oracle_iters = 50 if quick else 300
-
-    prob = problems.build("lasso")            # BASELINE: 1000x2000
+    if large:
+        # 8192x16384 f32 = 512 MB: far beyond VMEM, exercises true HBM
+        # streaming (where the fused Pallas pass halves traffic)
+        iters = 50
+        oracle_iters = 5
+        prob = problems.build("lasso", m=8192, n=16384, k=400)
+        metric = "lasso_8192x16384_adaptive_iters_per_sec"
+    else:
+        iters = 100 if quick else 1000
+        oracle_iters = 50 if quick else 300
+        prob = problems.build("lasso")        # BASELINE: 1000x2000
+        metric = "lasso_1000x2000_adaptive_iters_per_sec"
     tau0 = 0.05
     opts = FastaOptions(max_iters=iters, stop_rule="iterations",
                         adaptive=True, backtrack=True)
@@ -73,7 +85,7 @@ def main():
     gbps = tpu_ips * bytes_per_iter / 1e9
 
     result = {
-        "metric": "lasso_1000x2000_adaptive_iters_per_sec",
+        "metric": metric,
         "value": round(tpu_ips, 1),
         "unit": "iterations/s",
         "vs_baseline": round(tpu_ips / oracle_ips, 2),
