@@ -50,24 +50,27 @@ def bench_oracle(inst, tau0, tol, max_iters=20000):
 def bench_tpu(prob, tau0, tol, fixed_iters, repeats=3):
     from fasta_tpu import FastaOptions, make_solver
 
-    # (a) steady-state iterations/s at a fixed iteration count
+    # (a) steady-state iterations/s at a fixed iteration count.  Timing
+    # uses a host scalar readback as the completion barrier — on the
+    # tunneled backend block_until_ready returns at dispatch time.
     opts = FastaOptions(max_iters=fixed_iters, stop_rule="iterations")
     solve = make_solver(opts)
     args = (prob.op, prob.fterm, prob.gterm, jnp.asarray(prob.x0), tau0)
-    jax.block_until_ready(solve(*args))          # compile+warm
+    float(jnp.sum(solve(*args).taus))            # compile+warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(solve(*args))
+        float(jnp.sum(solve(*args).taus))
         best = min(best, time.perf_counter() - t0)
     ips = fixed_iters / best
 
     # (b) converged wall time
     opts_c = FastaOptions(max_iters=20000, tol=tol, record_objective=True)
     solve_c = make_solver(opts_c)
-    jax.block_until_ready(solve_c(*args))        # compile+warm
+    float(jnp.sum(solve_c(*args).taus))          # compile+warm
     t0 = time.perf_counter()
-    out = jax.block_until_ready(solve_c(*args))
+    out = solve_c(*args)
+    float(jnp.sum(out.taus))
     dt = time.perf_counter() - t0
     k = int(out.iteration_count)
     return dict(ips=ips, fixed_iters=fixed_iters, fixed_seconds=best,

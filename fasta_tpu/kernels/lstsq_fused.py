@@ -47,13 +47,15 @@ def _pad128(m: int) -> int:
     return ((m + 127) // 128) * 128
 
 
-def _row_tile(m_pad: int, cap: int = 512) -> int:
-    """Largest multiple of 128 ≤ cap dividing the (128-padded) row count.
+def _row_tile(m_pad: int, n: int, cap: int = 512,
+              tile_bytes_cap: int = 12 << 20) -> int:
+    """Largest multiple of 128 ≤ cap dividing the (128-padded) row count
+    whose A-tile fits the VMEM pipeline budget (double-buffered).
     Mosaic requires block last-dims divisible by 128 (the d/b tiles put
     rows on the lane axis), and 128 always divides m_pad."""
     best = 128
     for tm in range(256, cap + 1, 128):
-        if m_pad % tm == 0:
+        if m_pad % tm == 0 and tm * n * 4 <= tile_bytes_cap:
             best = tm
     return best
 
@@ -91,18 +93,25 @@ def _kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
     # Row-vector (lane-major) layout throughout: every vector is (1, k)
     # so the signal dimension rides the 128-lane axis — degenerate
     # (k, 1) column layouts are a Mosaic hazard and waste lanes.
+    #
+    # Precision.HIGHEST: the MXU's default path rounds f32 inputs to
+    # bf16 (~1e-2 relative error on GEMV — measured on hardware); the
+    # multi-pass f32 mode is free here because the kernel is
+    # bandwidth-bound, not MXU-bound.
     i = pl.program_id(0)
     # r = x Aᵀ − b  over this row tile:  (1,n)·(tm,n)ᵀ → (1,tm)
     r = (jax.lax.dot_general(
             x_ref[:], A_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
          - b_ref[:])
     d_ref[:] = r + b_ref[:]
     # gradient partial  r A:  (1,tm)·(tm,n) → (1,n)
     gpart = jax.lax.dot_general(
         r, A_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     fpart = 0.5 * jnp.sum(r * r)
 
     @pl.when(i == 0)
@@ -124,7 +133,7 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False):
     """
     m, n = A.shape
     m_pad = _pad128(m)
-    tm = _row_tile(m_pad)
+    tm = _row_tile(m_pad, n)
     if m_pad != m:
         # Zero rows are exact: they contribute r_i = 0, hence nothing to
         # f or g.  XLA hoists this loop-invariant pad out of the solver's
@@ -163,6 +172,10 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False):
             flops=4 * m_pad * n,             # two MXU matvecs per tile
             bytes_accessed=m_pad * n * 4 + (2 * m_pad + 2 * n) * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # double-buffered A tile + x/g/b/d rows, with headroom
+            vmem_limit_bytes=max(16 << 20, int(2.5 * tm * n * 4)),
         ),
         interpret=interpret,
     )(x2, b2, A)

@@ -98,27 +98,34 @@ class DenseOp(LinearOp):
     The matrix is stored once; row-sharding it over a mesh axis makes the
     forward matvec local and the adjoint matvec an XLA ``psum`` — the
     data-parallel layout of SURVEY.md §2.3.
+
+    Matmuls run at ``Precision.HIGHEST`` by default: the TPU MXU's fast
+    path rounds f32 inputs to bf16 (~1e-2 relative error), which directly
+    caps the residual the solver can reach — and GEMV is bandwidth-bound,
+    so the multi-pass f32 mode costs nothing.  Pass ``precision=None``
+    (or any ``jax.lax.Precision``) to override for MXU-bound workloads.
     """
 
-    def __init__(self, A):
+    def __init__(self, A, precision=jax.lax.Precision.HIGHEST):
         self.A = A
+        self.precision = precision
 
     def __call__(self, x):
-        return self.A @ x
+        return jnp.matmul(self.A, x, precision=self.precision)
 
     def rmatvec(self, y):
-        return self.A.conj().T @ y
+        return jnp.matmul(self.A.conj().T, y, precision=self.precision)
 
     @property
     def shape(self):
         return self.A.shape
 
     def tree_flatten(self):
-        return (self.A,), None
+        return (self.A,), (self.precision,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0])
+        return cls(children[0], *aux)
 
 
 @jax.tree_util.register_pytree_node_class

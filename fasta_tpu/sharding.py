@@ -85,16 +85,19 @@ class RowShardedDenseOp(LinearOp):
     axis — the single collective of the iteration, riding ICI.
     """
 
-    def __init__(self, A, mesh: Mesh, axis_name: str = "rows"):
+    def __init__(self, A, mesh: Mesh, axis_name: str = "rows",
+                 precision=jax.lax.Precision.HIGHEST):
         self.A = A
         self.mesh = mesh
         self.axis_name = axis_name
+        self.precision = precision
 
     def __call__(self, x):
         ax = self.axis_name
+        prec = self.precision
 
         def fwd(A_blk, x_rep):
-            return A_blk @ x_rep
+            return jnp.matmul(A_blk, x_rep, precision=prec)
 
         return shard_map(
             fwd, mesh=self.mesh,
@@ -104,9 +107,11 @@ class RowShardedDenseOp(LinearOp):
 
     def rmatvec(self, y):
         ax = self.axis_name
+        prec = self.precision
 
         def adj(A_blk, y_blk):
-            return jax.lax.psum(A_blk.conj().T @ y_blk, ax)
+            return jax.lax.psum(
+                jnp.matmul(A_blk.conj().T, y_blk, precision=prec), ax)
 
         return shard_map(
             adj, mesh=self.mesh,
@@ -119,7 +124,7 @@ class RowShardedDenseOp(LinearOp):
         return self.A.shape
 
     def tree_flatten(self):
-        return (self.A,), (self.mesh, self.axis_name)
+        return (self.A,), (self.mesh, self.axis_name, self.precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -140,11 +145,13 @@ def sharded_lstsq_gradmap(op: "RowShardedDenseOp", b):
     """
     ax = op.axis_name
 
+    prec = op.precision
+
     def local(A_blk, b_blk, x_rep):
-        d_blk = A_blk @ x_rep
+        d_blk = jnp.matmul(A_blk, x_rep, precision=prec)
         r = d_blk - b_blk
         f_part = 0.5 * jnp.real(jnp.vdot(r, r))
-        g_part = A_blk.conj().T @ r
+        g_part = jnp.matmul(A_blk.conj().T, r, precision=prec)
         f, g = jax.lax.psum((f_part, g_part), ax)
         return d_blk, f, g
 
@@ -160,13 +167,15 @@ def sharded_phase_hinge_gradmap(op: "RowShardedDenseOp", b):
     gradient, evaluated shard-locally with one psum for (f, Aᴴ∇f)."""
     ax = op.axis_name
 
+    prec = op.precision
+
     def local(A_blk, b_blk, x_rep):
-        d_blk = A_blk @ x_rep
+        d_blk = jnp.matmul(A_blk, x_rep, precision=prec)
         mag = jnp.abs(d_blk)
         r = jnp.maximum(mag - b_blk, 0.0)
         f_part = 0.5 * jnp.sum(r * r)
         grad_local = (r / jnp.maximum(mag, 1e-30)) * d_blk
-        g_part = A_blk.conj().T @ grad_local
+        g_part = jnp.matmul(A_blk.conj().T, grad_local, precision=prec)
         f, g = jax.lax.psum((f_part, g_part), ax)
         return d_blk, f, g
 
@@ -227,7 +236,8 @@ def shard_problem(problem: Problem, mesh: Mesh,
     x0 = place(problem.x0, False)
 
     if explicit and isinstance(op, DenseOp):
-        op = RowShardedDenseOp(op.A, mesh, axis_name)
+        op = RowShardedDenseOp(op.A, mesh, axis_name,
+                               precision=op.precision)
 
     return problem.with_parts(op=op, fterm=fterm, gterm=gterm, x0=x0,
                               name=problem.name + f"@{n_dev}dev")

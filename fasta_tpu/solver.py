@@ -433,10 +433,15 @@ def make_solver(opts: FastaOptions):
     and array shapes/structures — the operator and both objective terms
     are pytree arguments, not trace constants.
     """
-    fn = _SOLVER_CACHE.get(opts)
+    import os
+    # the Pallas opt-in env var is read at trace time inside
+    # fused_gradmap — it must key the cache or toggling it would silently
+    # reuse the other path's executable
+    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "0"))
+    fn = _SOLVER_CACHE.get(key)
     if fn is None:
         fn = jax.jit(_make_solve_fn(opts))
-        _SOLVER_CACHE[opts] = fn
+        _SOLVER_CACHE[key] = fn
     return fn
 
 
