@@ -31,7 +31,9 @@ CONFIGS = [
     ("nnls", {}, 0.08, 1e-6, 1000),
     ("logistic", {}, 1.0, 1e-6, 1000),
     ("tv", {}, 2.0, 1e-5, 300),
-    ("phase_retrieval", {}, 1.0, 1e-6, 300),
+    # planar complex: TPU backends have no native complex support; the
+    # planar layout is the TPU-idiomatic formulation (identical math)
+    ("phase_retrieval", {"planar": True}, 1.0, 1e-6, 300),
 ]
 
 

@@ -23,7 +23,7 @@ from . import checkpoint, operators, plotting, profiling, prox, smooth, terms
 from .operators import (
     LinearOp, DenseOp, IdentityOp, FunctionOp, TVGrad2D, TVDiv2D,
     MaskedFourierOp, DiagonalOp, ScaledOp, ComposeOp, StackedOp,
-    as_linear_op, check_adjoint,
+    PlanarDenseOp, as_linear_op, check_adjoint,
 )
 from .options import FastaOptions, STOP_RULES
 from .solver import (
@@ -32,10 +32,10 @@ from .solver import (
 )
 from .terms import (
     SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge,
-    SquaredHinge, FunctionSmooth, ProxTerm, L1Norm, LinfNorm, L21Norm,
-    NuclearNorm, NonnegIndicator, BoxIndicator, LinfBallIndicator,
-    MaxRowNormBall, LinearAnchor, L2Norm2, ZeroTerm, FunctionProx,
-    as_smooth_term, as_prox_term,
+    PlanarPhaseHinge, SquaredHinge, FunctionSmooth, ProxTerm, L1Norm,
+    LinfNorm, L21Norm, NuclearNorm, NonnegIndicator, BoxIndicator,
+    LinfBallIndicator, MaxRowNormBall, LinearAnchor, PlanarLinearAnchor,
+    L2Norm2, ZeroTerm, FunctionProx, as_smooth_term, as_prox_term,
 )
 
 __version__ = "0.1.0"
@@ -45,12 +45,12 @@ __all__ = [
     "estimate_stepsize", "FastaResult", "DeviceResult", "SolverState",
     "Diagnostics", "FastaOptions", "STOP_RULES", "LinearOp", "DenseOp",
     "IdentityOp", "FunctionOp", "TVGrad2D", "TVDiv2D", "MaskedFourierOp",
-    "DiagonalOp", "ScaledOp", "ComposeOp", "StackedOp", "as_linear_op",
+    "DiagonalOp", "ScaledOp", "ComposeOp", "StackedOp", "PlanarDenseOp", "as_linear_op",
     "check_adjoint", "SmoothTerm", "LeastSquares", "Logistic",
-    "MaskedLogistic", "PhaseHinge", "SquaredHinge", "FunctionSmooth",
+    "MaskedLogistic", "PhaseHinge", "PlanarPhaseHinge", "SquaredHinge", "FunctionSmooth",
     "ProxTerm", "L1Norm", "LinfNorm", "L21Norm", "NuclearNorm",
     "NonnegIndicator", "BoxIndicator", "LinfBallIndicator",
-    "MaxRowNormBall", "LinearAnchor", "L2Norm2", "ZeroTerm",
+    "MaxRowNormBall", "LinearAnchor", "PlanarLinearAnchor", "L2Norm2", "ZeroTerm",
     "FunctionProx", "as_smooth_term", "as_prox_term", "checkpoint",
     "operators", "plotting", "profiling", "prox", "smooth", "terms",
 ]

@@ -9,7 +9,9 @@ pass: one streaming read of A per solver iteration instead of two.
 from .lstsq_fused import (
     fused_lstsq_gradmap, lstsq_gradmap_reference, supports_fusion,
 )
+from .prox_fused import fused_shrink_step, shrink_step_reference
 
 __all__ = [
     "fused_lstsq_gradmap", "lstsq_gradmap_reference", "supports_fusion",
+    "fused_shrink_step", "shrink_step_reference",
 ]

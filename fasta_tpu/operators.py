@@ -39,7 +39,8 @@ import numpy as np
 __all__ = [
     "LinearOp", "DenseOp", "IdentityOp", "FunctionOp", "TVGrad2D",
     "TVDiv2D", "MaskedFourierOp", "DiagonalOp", "ScaledOp", "ComposeOp",
-    "StackedOp", "as_linear_op", "check_adjoint", "AdjointOp",
+    "StackedOp", "PlanarDenseOp", "as_linear_op", "check_adjoint",
+    "AdjointOp",
 ]
 
 
@@ -126,6 +127,58 @@ class DenseOp(LinearOp):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class PlanarDenseOp(LinearOp):
+    """Complex dense operator in PLANAR layout — the TPU-native complex
+    representation (TPU hardware has no complex type; XLA decomposes it,
+    and some backends don't support it at all).
+
+    The matrix is stored as two real arrays (Ar, Ai); vectors carry
+    real/imag as a trailing channel axis: x ∈ ℝ^{n×2} ↦ d ∈ ℝ^{m×2} with
+
+        d = [Ar xr − Ai xi,  Ar xi + Ai xr]        (complex product)
+        Aᴴ y = [Arᵀyr + Aiᵀyi,  Arᵀyi − Aiᵀyr]      (conjugate adjoint)
+
+    Each application is two real (m,n)×(n,2) MXU matmuls.  Crucially the
+    solver's complex-safe inner products Re⟨u,v⟩ equal the plain real
+    dot of the planar vectors, so the identical all-real solver drives
+    complex problems bit-for-bit (SURVEY.md §3.4 / §7 hard part 6).
+    Leading axes stay (m, n), so row-sharding works unchanged.
+    """
+
+    def __init__(self, Ar, Ai, precision=jax.lax.Precision.HIGHEST):
+        self.Ar = Ar
+        self.Ai = Ai
+        self.precision = precision
+
+    @classmethod
+    def from_complex(cls, A, dtype=jnp.float32, **kw):
+        A = np.asarray(A)
+        return cls(jnp.asarray(A.real, dtype), jnp.asarray(A.imag, dtype),
+                   **kw)
+
+    def __call__(self, x):
+        p = jnp.matmul(self.Ar, x, precision=self.precision)   # (m, 2)
+        q = jnp.matmul(self.Ai, x, precision=self.precision)
+        return jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]], axis=-1)
+
+    def rmatvec(self, y):
+        p = jnp.matmul(self.Ar.T, y, precision=self.precision)  # (n, 2)
+        q = jnp.matmul(self.Ai.T, y, precision=self.precision)
+        return jnp.stack([p[:, 0] + q[:, 1], p[:, 1] - q[:, 0]], axis=-1)
+
+    @property
+    def shape(self):
+        return self.Ar.shape
+
+    def tree_flatten(self):
+        return (self.Ar, self.Ai), (self.precision,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, precision=aux[0])
 
 
 @jax.tree_util.register_pytree_node_class

@@ -164,7 +164,9 @@ def estimate_stepsize(op: LinearOp, fterm: SmoothTerm, x0, key) -> tuple:
 
 
 def _real_dtype(dtype):
-    return jnp.zeros((), dtype).real.dtype
+    # computed host-side (numpy): an eager device `.real` is not
+    # supported on all backends (e.g. the tunneled TPU)
+    return np.zeros((), dtype).real.dtype
 
 
 def _make_solve_fn(opts: FastaOptions):

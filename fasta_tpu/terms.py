@@ -34,7 +34,7 @@ __all__ = [
     "BoxIndicator", "LinfBallIndicator", "LinearAnchor", "NuclearNorm",
     "L21Norm", "LinfNorm", "MaxRowNormBall", "ZeroTerm", "FunctionProx",
     "as_smooth_term", "as_prox_term", "MaskedLogistic", "SquaredHinge",
-    "L2Norm2",
+    "L2Norm2", "PlanarPhaseHinge", "PlanarLinearAnchor",
 ]
 
 
@@ -188,6 +188,34 @@ class PhaseHinge(SmoothTerm):
         if isinstance(op, RowShardedDenseOp):
             return sharded_phase_hinge_gradmap(op, self.b)
         return None
+
+    def tree_flatten(self):
+        return (self.b,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class PlanarPhaseHinge(SmoothTerm):
+    """PhaseMax hinge on PLANAR complex measurements d ∈ ℝ^{m×2}
+    (see operators.PlanarDenseOp):  |d| = √(dr²+di²) computed on real
+    channels; gradient is the Wirtinger gradient mapped to planar —
+    identical math to PhaseHinge on ℂ, all-real execution."""
+
+    def __init__(self, b):
+        self.b = b                      # (m,) real magnitudes
+
+    def value(self, d):
+        mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        r = jnp.maximum(mag - self.b, 0.0)
+        return 0.5 * jnp.sum(r * r)
+
+    def grad(self, d):
+        mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        r = jnp.maximum(mag - self.b, 0.0)
+        return (r / jnp.maximum(mag, 1e-30))[:, None] * d
 
     def tree_flatten(self):
         return (self.b,), None
@@ -481,6 +509,28 @@ class L2Norm2(ProxTerm):
 
     def tree_flatten(self):
         return (self.lam,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class PlanarLinearAnchor(ProxTerm):
+    """g(x) = −⟨c, x⟩ on planar vectors (≡ −Re⟨c,x⟩ on ℂ);
+    prox(z,t) = z + t·c.  c ∈ ℝ^{n×2}."""
+
+    def __init__(self, c):
+        self.c = c
+
+    def value(self, x):
+        return -jnp.vdot(self.c, x).real
+
+    def prox(self, z, t):
+        return z + t * self.c
+
+    def tree_flatten(self):
+        return (self.c,), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

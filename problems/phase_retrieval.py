@@ -16,7 +16,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from fasta_tpu import DenseOp, LinearAnchor, PhaseHinge
+import numpy as np
+
+from fasta_tpu import (DenseOp, LinearAnchor, PhaseHinge, PlanarDenseOp,
+                       PlanarLinearAnchor, PlanarPhaseHinge)
 from fasta_tpu.problem import Problem
 from reference_oracle.generators import make_phase_retrieval
 
@@ -25,16 +28,39 @@ from . import register
 __all__ = ["build"]
 
 
+def _planar(z, dtype):
+    """ℂ^n → ℝ^{n×2} (real/imag channels last)."""
+    z = np.asarray(z)
+    return jnp.asarray(np.stack([z.real, z.imag], axis=-1), dtype)
+
+
 @register("phase_retrieval")
 def build(m: int = 16384, n: int = 256, delta: float = 0.1, seed: int = 5,
-          dtype=jnp.complex64) -> Problem:
+          dtype=jnp.complex64, planar: bool = False) -> Problem:
+    """Set ``planar=True`` for the all-real planar-complex formulation —
+    required on TPU backends without complex support, and the TPU-native
+    layout in general (dtype then gives the REAL dtype, e.g. float32)."""
     inst = make_phase_retrieval(m=m, n=n, delta=delta, seed=seed)
-    rdt = jnp.zeros((), dtype).real.dtype
+    if planar:
+        rdt = np.zeros((), dtype).real.dtype   # accept f32 or c64 spec
+        c = delta * inst["x0_hat"]
+        return Problem(
+            name=f"phase_retrieval_planar[{m}x{n}]",
+            op=PlanarDenseOp.from_complex(inst["A"], rdt),
+            fterm=PlanarPhaseHinge(jnp.asarray(inst["b"], rdt)),
+            gterm=PlanarLinearAnchor(_planar(c, rdt)),
+            x0=_planar(inst["x0"], rdt),
+            x_true=inst["x_true"],
+            instance=inst,
+            recover=lambda xp: np.asarray(xp)[..., 0]
+            + 1j * np.asarray(xp)[..., 1],
+        )
+    rdt = np.zeros((), dtype).real.dtype
     return Problem(
         name=f"phase_retrieval[{m}x{n}]",
         op=DenseOp(jnp.asarray(inst["A"], dtype)),
         fterm=PhaseHinge(jnp.asarray(inst["b"], rdt)),
-        gterm=LinearAnchor(delta * jnp.asarray(inst["x0_hat"], dtype)),
+        gterm=LinearAnchor(jnp.asarray(delta * inst["x0_hat"], dtype)),
         x0=jnp.asarray(inst["x0"], dtype),
         x_true=inst["x_true"],
         instance=inst,

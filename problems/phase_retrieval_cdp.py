@@ -25,8 +25,9 @@ __all__ = ["build"]
 @register("phase_retrieval_cdp")
 def build(n: int = 256, K: int = 8, delta: float = 0.1, seed: int = 10,
           dtype=jnp.complex64) -> Problem:
+    import numpy as np
     inst = make_phase_retrieval_cdp(n=n, K=K, delta=delta, seed=seed)
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = np.zeros((), dtype).real.dtype
     ones = jnp.ones((n,), dtype)
     op = StackedOp([
         ComposeOp(MaskedFourierOp(ones),          # unitary FFT
