@@ -46,8 +46,9 @@ from .problem import Problem
 
 __all__ = [
     "make_mesh", "shard_problem", "RowShardedDenseOp",
-    "replicate", "shard_rows", "sharded_lstsq_gradmap",
-    "sharded_phase_hinge_gradmap",
+    "RowShardedPlanarDenseOp", "replicate", "shard_rows",
+    "sharded_lstsq_gradmap", "sharded_phase_hinge_gradmap",
+    "sharded_planar_phase_hinge_gradmap",
 ]
 
 
@@ -129,6 +130,92 @@ class RowShardedDenseOp(LinearOp):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class RowShardedPlanarDenseOp(LinearOp):
+    """Planar-complex dense operator (see operators.PlanarDenseOp) with
+    explicit shard_map row parallelism — the flagship sharded layout:
+    16k complex measurement rows split over the mesh, all-real local
+    matmuls, one psum on the adjoint leg."""
+
+    def __init__(self, Ar, Ai, mesh: Mesh, axis_name: str = "rows",
+                 precision=jax.lax.Precision.HIGHEST):
+        self.Ar = Ar
+        self.Ai = Ai
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.precision = precision
+
+    def __call__(self, x):
+        ax, prec = self.axis_name, self.precision
+
+        def fwd(Ar_blk, Ai_blk, x_rep):
+            p = jnp.matmul(Ar_blk, x_rep, precision=prec)
+            q = jnp.matmul(Ai_blk, x_rep, precision=prec)
+            return jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]],
+                             axis=-1)
+
+        return shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None), P()),
+            out_specs=P(ax),
+        )(self.Ar, self.Ai, x)
+
+    def rmatvec(self, y):
+        ax, prec = self.axis_name, self.precision
+
+        def adj(Ar_blk, Ai_blk, y_blk):
+            p = jnp.matmul(Ar_blk.T, y_blk, precision=prec)
+            q = jnp.matmul(Ai_blk.T, y_blk, precision=prec)
+            out = jnp.stack([p[:, 0] + q[:, 1], p[:, 1] - q[:, 0]],
+                            axis=-1)
+            return jax.lax.psum(out, ax)
+
+        return shard_map(
+            adj, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None), P(ax)),
+            out_specs=P(),
+        )(self.Ar, self.Ai, y)
+
+    @property
+    def shape(self):
+        return self.Ar.shape
+
+    def tree_flatten(self):
+        return (self.Ar, self.Ai), (self.mesh, self.axis_name,
+                                    self.precision)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def sharded_planar_phase_hinge_gradmap(op: "RowShardedPlanarDenseOp", b):
+    """Fused sharded planar PhaseMax-hinge gradmap — the flagship
+    complex 16k-row configuration in its all-real TPU layout: one
+    shard_map region per evaluation, one fused psum of (f, Aᴴ∇f)."""
+    ax, prec = op.axis_name, op.precision
+
+    def local(Ar_blk, Ai_blk, b_blk, x_rep):
+        p = jnp.matmul(Ar_blk, x_rep, precision=prec)
+        q = jnp.matmul(Ai_blk, x_rep, precision=prec)
+        d_blk = jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]], axis=-1)
+        mag = jnp.sqrt(jnp.sum(d_blk * d_blk, axis=-1))
+        r = jnp.maximum(mag - b_blk, 0.0)
+        f_part = 0.5 * jnp.sum(r * r)
+        gl = (r / jnp.maximum(mag, 1e-30))[:, None] * d_blk
+        gp = jnp.matmul(Ar_blk.T, gl, precision=prec)
+        gq = jnp.matmul(Ai_blk.T, gl, precision=prec)
+        g_part = jnp.stack([gp[:, 0] + gq[:, 1], gp[:, 1] - gq[:, 0]],
+                           axis=-1)
+        f, g = jax.lax.psum((f_part, g_part), ax)
+        return d_blk, f, g
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(ax, None), P(ax, None), P(ax), P()),
+                   out_specs=(P(ax), P(), P()))
+    return lambda x: fn(op.Ar, op.Ai, b, x)
 
 
 def sharded_lstsq_gradmap(op: "RowShardedDenseOp", b):
@@ -235,9 +322,13 @@ def shard_problem(problem: Problem, mesh: Mesh,
     gterm = jax.tree_util.tree_map(lambda l: place(l, False), problem.gterm)
     x0 = place(problem.x0, False)
 
+    from .operators import PlanarDenseOp
     if explicit and isinstance(op, DenseOp):
         op = RowShardedDenseOp(op.A, mesh, axis_name,
                                precision=op.precision)
+    elif explicit and isinstance(op, PlanarDenseOp):
+        op = RowShardedPlanarDenseOp(op.Ar, op.Ai, mesh, axis_name,
+                                     precision=op.precision)
 
     return problem.with_parts(op=op, fterm=fterm, gterm=gterm, x0=x0,
                               name=problem.name + f"@{n_dev}dev")

@@ -217,6 +217,13 @@ class PlanarPhaseHinge(SmoothTerm):
         r = jnp.maximum(mag - self.b, 0.0)
         return (r / jnp.maximum(mag, 1e-30))[:, None] * d
 
+    def fused_gradmap(self, op):
+        from .sharding import (RowShardedPlanarDenseOp,
+                               sharded_planar_phase_hinge_gradmap)
+        if isinstance(op, RowShardedPlanarDenseOp):
+            return sharded_planar_phase_hinge_gradmap(op, self.b)
+        return None
+
     def tree_flatten(self):
         return (self.b,), None
 

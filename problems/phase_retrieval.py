@@ -68,7 +68,10 @@ def build(m: int = 16384, n: int = 256, delta: float = 0.1, seed: int = 5,
 
 
 if __name__ == "__main__":
+    import jax
+
     from fasta_tpu.harness import compare_modes, format_comparison
-    problem = build()
+    # TPU backends lack complex support — run the planar formulation
+    problem = build(planar=jax.default_backend() == "tpu")
     print(format_comparison(problem, compare_modes(problem, tol=1e-6,
                                                    max_iters=1000)))

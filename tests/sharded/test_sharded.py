@@ -78,6 +78,28 @@ def test_sharded_complex_phase_retrieval():
                                atol=1e-12)
 
 
+def test_sharded_planar_phase_retrieval():
+    """Flagship sharded layout: planar complex, explicit shard_map with
+    the fused hinge gradmap — must match the single-device planar run."""
+    prob = problems.build("phase_retrieval", m=512, n=16,
+                          dtype=jnp.float64, planar=True)
+    prob.tau0 = 1.0
+    r_single = _solve(prob, accelerate=True, adaptive=False)
+
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    assert isinstance(sprob.op, sh.RowShardedPlanarDenseOp)
+    r_shard = _solve(sprob, accelerate=True, adaptive=False)
+
+    assert r_shard.iteration_count == r_single.iteration_count
+    k = r_single.iteration_count
+    np.testing.assert_allclose(r_shard.residuals[:k],
+                               r_single.residuals[:k], rtol=1e-5,
+                               atol=1e-12)
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-8)
+
+
 def test_row_sharded_op_adjoint():
     """Explicit shard_map operator satisfies ⟨Ax,y⟩=⟨x,Aᴴy⟩."""
     mesh = sh.make_mesh()
