@@ -27,6 +27,15 @@ Used by ``LeastSquares.fused_gradmap`` (fasta_tpu/terms.py) when the
 operator is a real float32 DenseOp on a TPU backend; everywhere else the
 mathematically identical two-pass XLA fallback runs.  Complex operators
 currently take the fallback path (planar-complex kernel is a follow-up).
+
+Measured status on TPU v5e (2026-08-17, in-solver-loop timing with host
+readback barriers): both variants are numerically validated on hardware
+(g within 2e-7 of f64 truth), but the kernel streams A at ~260 GB/s
+while XLA's two-pass GEMV runs at ~520 GB/s — so halving the traffic
+nets ≈1.0× end to end.  The single-row GEMV leaves the MXU 127/128 idle
+(mxu variant) and the cross-lane reductions cap the VPU variant; until a
+tiling that streams ≥ XLA's rate lands, the kernel stays opt-in
+(FASTA_TPU_PALLAS=1) and the default path is the faster XLA one.
 """
 
 from __future__ import annotations
@@ -89,7 +98,30 @@ def lstsq_gradmap_reference(A, x, b):
     return d, f, g
 
 
-def _kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
+def _kernel_vpu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
+    """VPU formulation: broadcast-multiply + reductions.  GEMV leaves
+    127/128 MXU lanes idle, so the vector units are the natural engine;
+    everything stays exact f32 (no MXU bf16 rounding).  b/d ride the
+    sublane axis as (tm, 1) columns."""
+    i = pl.program_id(0)
+    A = A_ref[:]
+    r = jnp.sum(A * x_ref[:], axis=1, keepdims=True) - b_ref[:]  # (tm,1)
+    d_ref[:] = r + b_ref[:]
+    gpart = jnp.sum(A * r, axis=0, keepdims=True)                # (1,n)
+    fpart = 0.5 * jnp.sum(r * r)
+
+    @pl.when(i == 0)
+    def _init():
+        g_ref[:] = gpart
+        f_ref[0, 0] = fpart
+
+    @pl.when(i > 0)
+    def _acc():
+        g_ref[:] = g_ref[:] + gpart
+        f_ref[0, 0] = f_ref[0, 0] + fpart
+
+
+def _kernel_mxu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
     # Row-vector (lane-major) layout throughout: every vector is (1, k)
     # so the signal dimension rides the 128-lane axis — degenerate
     # (k, 1) column layouts are a Mosaic hazard and waste lanes.
@@ -125,11 +157,14 @@ def _kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
         f_ref[0, 0] = f_ref[0, 0] + fpart
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_lstsq_gradmap(A, x, b, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
+def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
+                        variant: str = "vpu"):
     """One-pass (d, f, g) for f(x) = ½‖Ax−b‖², real f32 dense A.
 
-    Returns (d: (m,), f: scalar, g: (n,)).
+    Returns (d: (m,), f: scalar, g: (n,)).  ``variant``: "vpu" (default,
+    exact f32 on the vector units) or "mxu" (matrix-unit matvecs at
+    Precision.HIGHEST).
     """
     m, n = A.shape
     m_pad = _pad128(m)
@@ -141,35 +176,45 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False):
         A = jnp.pad(A, ((0, m_pad - m), (0, 0)))
         b = jnp.pad(b, (0, m_pad - m))
     x2 = x.reshape(1, n)
-    b2 = b.reshape(1, m_pad)
+
+    if variant == "vpu":
+        kernel = _kernel_vpu
+        b2 = b.reshape(m_pad, 1)
+        bd_spec = lambda: pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+        d_shape = (m_pad, 1)
+    else:
+        kernel = _kernel_mxu
+        b2 = b.reshape(1, m_pad)
+        bd_spec = lambda: pl.BlockSpec((1, tm), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)
+        d_shape = (1, m_pad)
 
     grid = (m_pad // tm,)
     d, f, g = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),        # x row
-            pl.BlockSpec((1, tm), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),        # b tile
+            bd_spec(),                                    # b tile
             pl.BlockSpec((tm, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),        # A tile
         ],
         out_specs=[
-            pl.BlockSpec((1, tm), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),        # d tile
+            bd_spec(),                                    # d tile
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),        # f accumulator
             pl.BlockSpec((1, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),        # g accumulator
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct(d_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * m_pad * n,             # two MXU matvecs per tile
+            flops=4 * m_pad * n,
             bytes_accessed=m_pad * n * 4 + (2 * m_pad + 2 * n) * 4,
             transcendentals=0,
         ),
