@@ -39,8 +39,8 @@ import numpy as np
 __all__ = [
     "LinearOp", "DenseOp", "IdentityOp", "FunctionOp", "TVGrad2D",
     "TVDiv2D", "MaskedFourierOp", "DiagonalOp", "ScaledOp", "ComposeOp",
-    "StackedOp", "PlanarDenseOp", "as_linear_op", "check_adjoint",
-    "AdjointOp",
+    "StackedOp", "PlanarDenseOp", "LowPrecDenseOp", "as_linear_op",
+    "check_adjoint", "AdjointOp",
 ]
 
 
@@ -127,6 +127,51 @@ class DenseOp(LinearOp):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class LowPrecDenseOp(LinearOp):
+    """Dense operator with LOW-PRECISION STORAGE (bf16 by default) and
+    f32 accumulation — the mixed-precision fast path.
+
+    GEMV is HBM-bandwidth-bound, so halving the stored matrix bytes
+    halves the wall time per matvec pass.  The gradient then carries
+    ~bf16 relative error (~1e-2..1e-3), which caps the reachable
+    residual — the intended workflow is iterative refinement: solve fast
+    at low precision, then warm-restart the full-precision operator from
+    the result (fasta_tpu.checkpoint.resume), which converges in a few
+    final iterations.  Outputs are always f32.
+    """
+
+    def __init__(self, A):
+        self.A = A                       # already in storage dtype
+
+    @classmethod
+    def from_dense(cls, A, storage_dtype=jnp.bfloat16):
+        return cls(jnp.asarray(A, storage_dtype))
+
+    def __call__(self, x):
+        return jax.lax.dot_general(
+            self.A, x.astype(self.A.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def rmatvec(self, y):
+        return jax.lax.dot_general(
+            self.A, y.astype(self.A.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    def tree_flatten(self):
+        return (self.A,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
 
 
 @jax.tree_util.register_pytree_node_class
