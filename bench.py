@@ -23,6 +23,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat runs (and driver round-end runs)
+# skip the slow tunnel recompiles
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def bench_tpu(prob, opts, tau0: float, repeats: int = 3):
     from fasta_tpu import make_solver
