@@ -341,12 +341,11 @@ class LinfNorm(ProxTerm):
         return _prox.prox_linf(z, t * self.mu)
 
     def tree_flatten(self):
-        return (), (self.mu,)
+        return (self.mu,), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del children
-        return cls(aux[0])
+        return cls(children[0])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -364,12 +363,11 @@ class L21Norm(ProxTerm):
         return _prox.shrink_rows(Z, t * self.mu)
 
     def tree_flatten(self):
-        return (), (self.mu,)
+        return (self.mu,), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del children
-        return cls(aux[0])
+        return cls(children[0])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -387,12 +385,11 @@ class NuclearNorm(ProxTerm):
         return _prox.svt(Z, t * self.mu)
 
     def tree_flatten(self):
-        return (), (self.mu,)
+        return (self.mu,), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del children
-        return cls(aux[0])
+        return cls(children[0])
 
 
 @jax.tree_util.register_pytree_node_class
