@@ -100,6 +100,36 @@ def test_sharded_planar_phase_retrieval():
                                atol=1e-8)
 
 
+def test_sharded_mmv_matrix_variable():
+    """Matrix-valued signal (MMV): the fused sharded lstsq gradmap must
+    handle B ∈ ℝ^{m×l} (PartitionSpec pads trailing dims)."""
+    prob = problems.build("mmv", m=160, n=64, l=4, k=8, dtype=jnp.float64)
+    prob.tau0 = 0.08
+    r_single = _solve(prob)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    r_shard = _solve(sprob)
+    assert r_shard.iteration_count == r_single.iteration_count
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-8)
+
+
+def test_sharded_logistic_generic_path():
+    """Non-fused smooth term (logistic) through the explicit shard_map
+    operator: the generic two-call path must stay correct."""
+    prob = problems.build("logistic", m=240, n=64, dtype=jnp.float64)
+    prob.tau0 = 1.0
+    r_single = _solve(prob)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    r_shard = _solve(sprob)
+    assert r_shard.iteration_count == r_single.iteration_count
+    k = r_single.iteration_count
+    np.testing.assert_allclose(r_shard.residuals[:k],
+                               r_single.residuals[:k], rtol=1e-5,
+                               atol=1e-12)
+
+
 def test_row_sharded_op_adjoint():
     """Explicit shard_map operator satisfies ⟨Ax,y⟩=⟨x,Aᴴy⟩."""
     mesh = sh.make_mesh()
