@@ -121,50 +121,55 @@ def _kernel_vpu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
         f_ref[0, 0] = f_ref[0, 0] + fpart
 
 
-def _kernel_mxu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
-    # Row-vector (lane-major) layout throughout: every vector is (1, k)
-    # so the signal dimension rides the 128-lane axis — degenerate
-    # (k, 1) column layouts are a Mosaic hazard and waste lanes.
-    #
-    # Precision.HIGHEST: the MXU's default path rounds f32 inputs to
-    # bf16 (~1e-2 relative error on GEMV — measured on hardware); the
-    # multi-pass f32 mode is free here because the kernel is
-    # bandwidth-bound, not MXU-bound.
-    i = pl.program_id(0)
-    # r = x Aᵀ − b  over this row tile:  (1,n)·(tm,n)ᵀ → (1,tm)
-    r = (jax.lax.dot_general(
-            x_ref[:], A_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+def _make_kernel_mxu(precision):
+    """MXU matvec kernel factory.  Row-vector (lane-major) layout:
+    every vector is (1, k) so the signal dimension rides the 128-lane
+    axis — degenerate (k, 1) column layouts are a Mosaic hazard.
+
+    The MXU's DEFAULT path rounds f32 inputs to bf16 (~1e-2 relative
+    error on GEMV — measured on hardware); HIGHEST (≈6 passes) restores
+    full f32, HIGH (bf16x3, 3 passes) is near-f32 at half the MXU work.
+    """
+    def kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
+        i = pl.program_id(0)
+        # r = x Aᵀ − b  over this row tile:  (1,n)·(tm,n)ᵀ → (1,tm)
+        r = (jax.lax.dot_general(
+                x_ref[:], A_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+             - b_ref[:])
+        d_ref[:] = r + b_ref[:]
+        # gradient partial  r A:  (1,tm)·(tm,n) → (1,n)
+        gpart = jax.lax.dot_general(
+            r, A_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-         - b_ref[:])
-    d_ref[:] = r + b_ref[:]
-    # gradient partial  r A:  (1,tm)·(tm,n) → (1,n)
-    gpart = jax.lax.dot_general(
-        r, A_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    fpart = 0.5 * jnp.sum(r * r)
+            precision=precision)
+        fpart = 0.5 * jnp.sum(r * r)
 
-    @pl.when(i == 0)
-    def _init():
-        g_ref[:] = gpart
-        f_ref[0, 0] = fpart
+        @pl.when(i == 0)
+        def _init():
+            g_ref[:] = gpart
+            f_ref[0, 0] = fpart
 
-    @pl.when(i > 0)
-    def _acc():
-        g_ref[:] = g_ref[:] + gpart
-        f_ref[0, 0] = f_ref[0, 0] + fpart
+        @pl.when(i > 0)
+        def _acc():
+            g_ref[:] = g_ref[:] + gpart
+            f_ref[0, 0] = f_ref[0, 0] + fpart
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "variant", "precision"))
 def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
-                        variant: str = "vpu"):
+                        variant: str = "vpu",
+                        precision=jax.lax.Precision.HIGHEST):
     """One-pass (d, f, g) for f(x) = ½‖Ax−b‖², real f32 dense A.
 
     Returns (d: (m,), f: scalar, g: (n,)).  ``variant``: "vpu" (default,
-    exact f32 on the vector units) or "mxu" (matrix-unit matvecs at
-    Precision.HIGHEST).
+    exact f32 on the vector units) or "mxu" (matrix-unit matvecs at the
+    given ``precision``).
     """
     m, n = A.shape
     m_pad = _pad128(m)
@@ -184,7 +189,7 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
                                        memory_space=pltpu.VMEM)
         d_shape = (m_pad, 1)
     else:
-        kernel = _kernel_mxu
+        kernel = _make_kernel_mxu(precision)
         b2 = b.reshape(1, m_pad)
         bd_spec = lambda: pl.BlockSpec((1, tm), lambda i: (0, i),
                                        memory_space=pltpu.VMEM)
