@@ -341,9 +341,9 @@ def _make_solve_fn(opts: FastaOptions):
                     jnp.where(nDg2 > 0.0, dotprod / nDg2, 0.0), 0.0)
                 tau_next = jnp.where(2.0 * tau_m > tau_s,
                                      tau_m, tau_s - 0.5 * tau_m)
-                bad = ((tau_next <= 0.0) | jnp.isinf(tau_next)
-                       | jnp.isnan(tau_next))
-                tau_next = jnp.where(bad, tau * 1.5, tau_next)
+                bb_degenerate = ((tau_next <= 0.0) | jnp.isinf(tau_next)
+                                 | jnp.isnan(tau_next))
+                tau_next = jnp.where(bb_degenerate, tau * 1.5, tau_next)
                 x_next, gradf_next, accel_next = x1, gradf1, None
             elif accelerated:
                 if affine_accel:
