@@ -20,7 +20,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trace", "roofline_report", "device_memory_stats"]
+__all__ = ["trace", "roofline_report", "device_memory_stats",
+           "time_blocking"]
 
 # Advertised HBM bandwidth per chip for known TPU generations (GB/s).
 _HBM_ROOFLINE_GBPS = {
@@ -42,6 +43,29 @@ def trace(logdir: str = "/tmp/fasta_tpu_trace"):
         jax.profiler.stop_trace()
 
 
+def time_blocking(fn, *args, repeats: int = 3, warmup: int = 1) -> float:
+    """Best wall time of ``fn(*args)`` with a HOST-READBACK completion
+    barrier: a scalar reduced from the output is fetched to the host
+    each repetition.  On remote/tunneled backends ``block_until_ready``
+    returns at dispatch time, which silently produces impossible timings
+    — always time through this helper."""
+    import jax.numpy as jnp
+
+    def run():
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.real(jnp.sum(leaf)))
+
+    for _ in range(warmup):
+        run()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _chip_roofline() -> Optional[float]:
     try:
         kind = jax.devices()[0].device_kind.lower()
@@ -55,15 +79,9 @@ def _chip_roofline() -> Optional[float]:
 
 def roofline_report(bytes_per_call: int, fn, *args, repeats: int = 5,
                     warmup: int = 1) -> dict:
-    """Time ``fn(*args)`` (device-blocking) and report achieved GB/s vs
-    the chip's HBM roofline."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+    """Time ``fn(*args)`` (host-readback barriered) and report achieved
+    GB/s vs the chip's HBM roofline."""
+    best = time_blocking(fn, *args, repeats=repeats, warmup=warmup)
     gbps = bytes_per_call / best / 1e9
     roof = _chip_roofline()
     return {
