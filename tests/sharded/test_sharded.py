@@ -100,6 +100,20 @@ def test_sharded_planar_phase_retrieval():
                                atol=1e-8)
 
 
+def test_sharded_tv_stencil_generic():
+    """Structured (matrix-free) operator under sharding: the TV dual
+    solve with b row-sharded must match the single-device run."""
+    prob = problems.build("tv", h=64, w=64, dtype=jnp.float64)
+    prob.tau0 = 2.0
+    r_single = _solve(prob, tol=1e-6, max_iters=60)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    r_shard = _solve(sprob, tol=1e-6, max_iters=60)
+    assert r_shard.iteration_count == r_single.iteration_count
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-9)
+
+
 def test_sharded_mmv_matrix_variable():
     """Matrix-valued signal (MMV): the fused sharded lstsq gradmap must
     handle B ∈ ℝ^{m×l} (PartitionSpec pads trailing dims)."""
