@@ -16,7 +16,7 @@ the code for the chosen mode (SURVEY.md §7 step 1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Callable, Optional
 
 __all__ = ["FastaOptions", "STOP_RULES"]
 
@@ -66,6 +66,11 @@ class FastaOptions:
     # objective or residual goes NaN/Inf and flag it in the result —
     # instead of burning the remaining iterations on garbage.
     guard_nonfinite: bool = False
+    # Custom stopping rule (the reference's stopNow hook): a traceable
+    # callable (k, residual, norm_residual, max_residual, f1) -> bool
+    # scalar, OR-combined with the selected stop_rule.  Hashed by
+    # identity (use a module-level function for cache stability).
+    stop_fn: Optional[Callable] = None
 
     # Mode precedence matches the oracle (fasta_numpy.py: ``if adaptive and
     # not accelerate ... elif accelerate``): acceleration wins when both are

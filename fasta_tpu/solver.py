@@ -319,6 +319,10 @@ def _make_solve_fn(opts: FastaOptions):
             else:  # "iterations"
                 stop = jnp.zeros((), jnp.bool_)
 
+            # custom stopping hook (reference stopNow analog)
+            if opts.stop_fn is not None:
+                stop = stop | opts.stop_fn(k, res, nres, max_res, f1)
+
             # sanitizer: stop on NaN/Inf rather than iterating on garbage
             if opts.guard_nonfinite:
                 bad = ~(jnp.isfinite(f1) & jnp.isfinite(res))

@@ -21,7 +21,7 @@ suite (SURVEY.md §2.2) and the oracle generators.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -260,10 +260,24 @@ class SquaredHinge(SmoothTerm):
 class FunctionSmooth(SmoothTerm):
     """Wrap raw (f, gradf) callables — reference-style closures.  The
     callables are static aux data (arrays they capture are baked into the
-    trace; prefer the data-carrying terms above for sharded runs)."""
+    trace; prefer the data-carrying terms above for sharded runs).
 
-    def __init__(self, f: Callable, gradf: Callable):
+    ``gradf=None`` derives the gradient by autodiff (``jax.grad``) — a
+    capability the reference cannot offer: any differentiable f works
+    without a hand-written gradient.  For complex measurement spaces the
+    conjugate Wirtinger convention of FBS is applied (∂f/∂conj(d))."""
+
+    def __init__(self, f: Callable, gradf: Optional[Callable] = None):
         self.f = f
+        if gradf is None:
+            raw = jax.grad(lambda d: jnp.real(f(d)))
+
+            def gradf(d):
+                out = raw(d)
+                if jnp.issubdtype(jnp.asarray(d).dtype,
+                                  jnp.complexfloating):
+                    return jnp.conj(out)
+                return out
         self.gradf = gradf
 
     def value(self, d):
