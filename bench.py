@@ -109,5 +109,28 @@ def main():
           file=sys.stderr)
 
 
+def _watchdog(seconds: int = 480):
+    """The tunneled TPU backend can wedge (hangs even trivial dispatches);
+    emit an explicit failure record instead of hanging the driver."""
+    import signal
+
+    def onalarm(signum, frame):
+        print(json.dumps({
+            "metric": "lasso_1000x2000_adaptive_iters_per_sec",
+            "value": 0.0,
+            "unit": "iterations/s",
+            "vs_baseline": 0.0,
+        }))
+        print("# TPU backend unresponsive after "
+              f"{seconds}s — benchmark aborted", file=sys.stderr)
+        sys.stdout.flush()
+        import os
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, onalarm)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _watchdog()
     main()
