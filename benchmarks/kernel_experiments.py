@@ -73,9 +73,16 @@ def main():
     An, xn, bn = (np.asarray(A, np.float64), np.asarray(x, np.float64),
                   np.asarray(b, np.float64))
     gt = An.T @ (An @ xn - bn)
+    # NOTE: Mosaic supports only DEFAULT/HIGHEST dot precision; HIGH
+    # (bf16x3) raises NotImplementedError — kept here as a probe for
+    # future toolchains.
     for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH):
-        d, f, g = K.fused_lstsq_gradmap(A, x, b, variant="mxu",
-                                        precision=prec)
+        try:
+            d, f, g = K.fused_lstsq_gradmap(A, x, b, variant="mxu",
+                                            precision=prec)
+        except NotImplementedError as e:
+            print(f"mxu {prec}: unsupported by Mosaic ({e})", flush=True)
+            continue
         gerr = float(np.abs(np.asarray(g, np.float64) - gt).max()
                      / np.abs(gt).max())
         # in-loop timing: fixed-point iterate the kernel
