@@ -89,12 +89,23 @@ class LeastSquares(SmoothTerm):
         """One-pass (Ax, ½‖Ax−b‖², Aᴴ(Ax−b)) for dense operators:
         row-sharded shard_map region with a single psum when the operator
         is mesh-sharded; Pallas streaming kernel on single-chip TPU (half
-        the HBM traffic of the two-pass formulation); exact-graph XLA
-        fallback elsewhere."""
-        from .operators import DenseOp
+        the HBM traffic of the two-pass formulation); single-launch
+        VMEM-resident Pallas kernel for the TV stencil operator; exact
+        XLA fallback elsewhere."""
+        from .operators import DenseOp, ScaledOp, TVDiv2D
         from .sharding import RowShardedDenseOp, sharded_lstsq_gradmap
         if isinstance(op, RowShardedDenseOp):
             return sharded_lstsq_gradmap(op, self.b)
+        if (isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D)
+                and jnp.asarray(self.b).ndim == 2):
+            from .kernels.lstsq_fused import _PALLAS_ENABLED
+            from .kernels.tv_fused import (fused_tv_gradmap,
+                                           tv_gradmap_reference)
+            mu = float(op.c)
+            if (_PALLAS_ENABLED and jax.default_backend() == "tpu"
+                    and jnp.asarray(self.b).dtype == jnp.float32):
+                return lambda p: fused_tv_gradmap(p, self.b, mu)
+            return lambda p: tv_gradmap_reference(p, self.b, mu)
         if not isinstance(op, DenseOp):
             return None
         A = op.A
