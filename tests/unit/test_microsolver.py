@@ -1,0 +1,44 @@
+"""On-chip microsolver (whole solve in one Pallas kernel) vs the XLA
+solver — interpret mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import problems
+from fasta_tpu.kernels.microsolver import microsolve_lasso
+
+
+@pytest.mark.parametrize("engine", ["mxu", "vpu"])
+def test_microsolver_matches_xla_solver(engine):
+    prob = problems.build("lasso", m=200, n=400, k=20, dtype=jnp.float32)
+    inst = prob.instance
+    A = jnp.asarray(inst["A"], jnp.float32)
+    b = jnp.asarray(inst["b"], jnp.float32)
+    x0 = jnp.asarray(inst["x0"], jnp.float32)
+
+    x, taus, res, k, conv = microsolve_lasso(
+        A, b, x0, 0.05, inst["mu"], max_iters=100, tol=1e-6,
+        interpret=True, engine=engine)
+    prob.tau0 = 0.05
+    r = prob.solve(tol=1e-6, max_iters=100, fuse=False)
+
+    assert int(k) == r.iteration_count
+    assert bool(conv) == r.converged
+    kk = int(k)
+    np.testing.assert_allclose(np.asarray(res[:kk]), r.residuals[:kk],
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x), r.solution, atol=1e-5)
+
+
+def test_microsolver_backtracking_path():
+    """Huge tau0 must trigger in-kernel backtracking and still solve."""
+    prob = problems.build("lasso", m=120, n=240, k=10, dtype=jnp.float32)
+    inst = prob.instance
+    x, taus, res, k, conv = microsolve_lasso(
+        jnp.asarray(inst["A"], jnp.float32),
+        jnp.asarray(inst["b"], jnp.float32),
+        jnp.asarray(inst["x0"], jnp.float32),
+        50.0, inst["mu"], max_iters=100, tol=1e-6, interpret=True)
+    assert bool(conv)
+    assert float(taus[0]) < 50.0           # backtracking shrank tau
