@@ -1,0 +1,76 @@
+"""Microsolver hardware benchmark — run when the TPU is available.
+
+Whole-solve-in-one-kernel vs the XLA while_loop solver, host-readback
+timed, for (a) the baseline LASSO 1000×2000 and (b) TV 512×512 (the
+launch-bound case the TV microsolver targets).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def _t(f):
+    out = f()
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = f()
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import problems
+    from fasta_tpu import FastaOptions, make_solver
+    from fasta_tpu.kernels.microsolver import microsolve_lasso
+    from fasta_tpu.kernels.microsolver_tv import microsolve_tv
+
+    # LASSO 1000x2000
+    prob = problems.build("lasso")
+    inst = prob.instance
+    A = jnp.asarray(inst["A"], jnp.float32)
+    b = jnp.asarray(inst["b"], jnp.float32)
+    x0 = jnp.asarray(inst["x0"], jnp.float32)
+    tm = _t(lambda: microsolve_lasso(A, b, x0, 0.05, inst["mu"],
+                                     max_iters=1000, tol=0.0))
+    solve = make_solver(FastaOptions(max_iters=1000,
+                                     stop_rule="iterations"))
+    args = (prob.op, prob.fterm, prob.gterm, jnp.asarray(prob.x0),
+            jnp.asarray(0.05, jnp.float32))
+    tx = _t(lambda: solve(*args))
+    print(f"lasso: micro {1000/tm:.0f} it/s | xla {1000/tx:.0f} it/s "
+          f"({tx/tm:.2f}x)", flush=True)
+
+    # TV 512x512
+    tvp = problems.build("tv")
+    ti = tvp.instance
+    bb = jnp.asarray(ti["b"], jnp.float32)
+    p0 = jnp.asarray(ti["x0"], jnp.float32)
+    tm = _t(lambda: microsolve_tv(bb, p0, 2.0, ti["mu"], max_iters=2000,
+                                  tol=0.0))
+    solve = make_solver(FastaOptions(max_iters=2000,
+                                     stop_rule="iterations"))
+    args = (tvp.op, tvp.fterm, tvp.gterm, jnp.asarray(tvp.x0),
+            jnp.asarray(2.0, jnp.float32))
+    tx = _t(lambda: solve(*args))
+    print(f"tv:    micro {2000/tm:.0f} it/s | xla {2000/tx:.0f} it/s "
+          f"({tx/tm:.2f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
