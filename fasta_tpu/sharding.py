@@ -48,7 +48,7 @@ __all__ = [
     "make_mesh", "shard_problem", "RowShardedDenseOp",
     "RowShardedPlanarDenseOp", "replicate", "shard_rows",
     "sharded_lstsq_gradmap", "sharded_phase_hinge_gradmap",
-    "sharded_planar_phase_hinge_gradmap",
+    "sharded_planar_phase_hinge_gradmap", "sharded_pointwise_gradmap",
 ]
 
 
@@ -216,6 +216,32 @@ def sharded_planar_phase_hinge_gradmap(op: "RowShardedPlanarDenseOp", b):
                    in_specs=(P(ax, None), P(ax, None), P(ax), P()),
                    out_specs=(P(ax), P(), P()))
     return lambda x: fn(op.Ar, op.Ai, b, x)
+
+
+def sharded_pointwise_gradmap(op: "RowShardedDenseOp", loss_local,
+                              *data_leaves):
+    """Generic fused sharded gradmap for any POINTWISE smooth loss
+    f(d) = Σᵢ ℓ(dᵢ; dataᵢ):  one shard_map region computing
+    (d_blk, Σ_local ℓ, A_blkᴴ ℓ'(d_blk)) with a single fused psum.
+    ``loss_local(d_blk, *data_blks) -> (loss_sum, dloss)`` runs on the
+    device-local rows; every ``data_leaves`` array must carry the same
+    row sharding as A (shard_problem guarantees this for smooth-term
+    leaves).  Covers logistic, squared hinge, and any future pointwise
+    loss without new collective code."""
+    ax, prec = op.axis_name, op.precision
+    nd = len(data_leaves)
+
+    def local(A_blk, x_rep, *data_blks):
+        d_blk = jnp.matmul(A_blk, x_rep, precision=prec)
+        f_part, dloss = loss_local(d_blk, *data_blks)
+        g_part = jnp.matmul(A_blk.conj().T, dloss, precision=prec)
+        f, g = jax.lax.psum((f_part, g_part), ax)
+        return d_blk, f, g
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(ax, None), P()) + (P(ax),) * nd,
+                   out_specs=(P(ax), P(), P()))
+    return lambda x: fn(op.A, x, *data_leaves)
 
 
 def sharded_lstsq_gradmap(op: "RowShardedDenseOp", b):

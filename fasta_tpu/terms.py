@@ -142,6 +142,17 @@ class Logistic(SmoothTerm):
     def grad(self, d):
         return 1.0 / (1.0 + jnp.exp(-d)) - self.b
 
+    def fused_gradmap(self, op):
+        from .sharding import (RowShardedDenseOp,
+                               sharded_pointwise_gradmap)
+        if isinstance(op, RowShardedDenseOp):
+            def loss_local(d, b):
+                f = jnp.sum(jnp.maximum(d, 0.0)
+                            + jnp.log1p(jnp.exp(-jnp.abs(d))) - b * d)
+                return f, 1.0 / (1.0 + jnp.exp(-d)) - b
+            return sharded_pointwise_gradmap(op, loss_local, self.b)
+        return None
+
     def tree_flatten(self):
         return (self.b,), None
 
@@ -258,6 +269,16 @@ class SquaredHinge(SmoothTerm):
     def grad(self, d):
         r = jnp.maximum(0.0, 1.0 - self.y * d)
         return -self.y * r
+
+    def fused_gradmap(self, op):
+        from .sharding import (RowShardedDenseOp,
+                               sharded_pointwise_gradmap)
+        if isinstance(op, RowShardedDenseOp):
+            def loss_local(d, y):
+                r = jnp.maximum(0.0, 1.0 - y * d)
+                return 0.5 * jnp.sum(r * r), -y * r
+            return sharded_pointwise_gradmap(op, loss_local, self.y)
+        return None
 
     def tree_flatten(self):
         return (self.y,), None

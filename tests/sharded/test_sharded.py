@@ -128,9 +128,9 @@ def test_sharded_mmv_matrix_variable():
                                atol=1e-8)
 
 
-def test_sharded_logistic_generic_path():
-    """Non-fused smooth term (logistic) through the explicit shard_map
-    operator: the generic two-call path must stay correct."""
+def test_sharded_logistic_fused_pointwise():
+    """Logistic through the generic pointwise fused sharded gradmap
+    must match the single-device run."""
     prob = problems.build("logistic", m=240, n=64, dtype=jnp.float64)
     prob.tau0 = 1.0
     r_single = _solve(prob)
@@ -142,6 +142,18 @@ def test_sharded_logistic_generic_path():
     np.testing.assert_allclose(r_shard.residuals[:k],
                                r_single.residuals[:k], rtol=1e-5,
                                atol=1e-12)
+
+
+def test_sharded_svm_fused_pointwise():
+    prob = problems.build("svm", m=240, n=48, dtype=jnp.float64)
+    prob.tau0 = 0.3
+    r_single = _solve(prob)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    r_shard = _solve(sprob)
+    assert r_shard.iteration_count == r_single.iteration_count
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-6)
 
 
 def test_row_sharded_op_adjoint():
