@@ -23,7 +23,8 @@ from . import checkpoint, operators, plotting, profiling, prox, smooth, terms
 from .operators import (
     LinearOp, DenseOp, IdentityOp, FunctionOp, TVGrad2D, TVDiv2D,
     MaskedFourierOp, DiagonalOp, ScaledOp, ComposeOp, StackedOp,
-    PlanarDenseOp, LowPrecDenseOp, as_linear_op, check_adjoint,
+    PlanarDenseOp, LowPrecDenseOp, SparseOp, as_linear_op,
+    check_adjoint,
 )
 from .options import FastaOptions, STOP_RULES
 from .solver import (
@@ -45,7 +46,7 @@ __all__ = [
     "estimate_stepsize", "FastaResult", "DeviceResult", "SolverState",
     "Diagnostics", "FastaOptions", "STOP_RULES", "LinearOp", "DenseOp",
     "IdentityOp", "FunctionOp", "TVGrad2D", "TVDiv2D", "MaskedFourierOp",
-    "DiagonalOp", "ScaledOp", "ComposeOp", "StackedOp", "PlanarDenseOp", "LowPrecDenseOp", "as_linear_op",
+    "DiagonalOp", "ScaledOp", "ComposeOp", "StackedOp", "PlanarDenseOp", "LowPrecDenseOp", "SparseOp", "as_linear_op",
     "check_adjoint", "SmoothTerm", "LeastSquares", "Logistic",
     "MaskedLogistic", "PhaseHinge", "PlanarPhaseHinge", "SquaredHinge", "FunctionSmooth",
     "ProxTerm", "L1Norm", "LinfNorm", "L21Norm", "NuclearNorm",

@@ -39,8 +39,8 @@ import numpy as np
 __all__ = [
     "LinearOp", "DenseOp", "IdentityOp", "FunctionOp", "TVGrad2D",
     "TVDiv2D", "MaskedFourierOp", "DiagonalOp", "ScaledOp", "ComposeOp",
-    "StackedOp", "PlanarDenseOp", "LowPrecDenseOp", "as_linear_op",
-    "check_adjoint", "AdjointOp",
+    "StackedOp", "PlanarDenseOp", "LowPrecDenseOp", "SparseOp",
+    "as_linear_op", "check_adjoint", "AdjointOp",
 ]
 
 
@@ -127,6 +127,44 @@ class DenseOp(LinearOp):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseOp(LinearOp):
+    """Sparse operator backed by ``jax.experimental.sparse.BCOO`` — the
+    TPU-native answer to the reference's scipy.sparse support.  Accepts
+    a scipy sparse matrix via :meth:`from_scipy` (``as_linear_op``
+    dispatches automatically)."""
+
+    def __init__(self, M):
+        self.M = M                         # BCOO
+
+    @classmethod
+    def from_scipy(cls, sp_matrix, dtype=None):
+        from jax.experimental import sparse as jsparse
+        if dtype is not None:
+            sp_matrix = sp_matrix.astype(np.dtype(dtype))
+        return cls(jsparse.BCOO.from_scipy_sparse(sp_matrix))
+
+    def __call__(self, x):
+        return self.M @ x
+
+    def rmatvec(self, y):
+        Mt = self.M.T
+        if jnp.issubdtype(self.M.dtype, jnp.complexfloating):
+            return (Mt @ jnp.conj(y)).conj()
+        return Mt @ y
+
+    @property
+    def shape(self):
+        return self.M.shape
+
+    def tree_flatten(self):
+        return (self.M,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -435,6 +473,12 @@ def as_linear_op(A: Any, At: Any = None) -> LinearOp:
         return A
     if isinstance(A, (np.ndarray, jax.Array)):
         return DenseOp(jnp.asarray(A))
+    try:
+        import scipy.sparse as _sp
+        if _sp.issparse(A):
+            return SparseOp.from_scipy(A)
+    except ImportError:                    # pragma: no cover
+        pass
     if callable(A):
         if not callable(At):
             raise ValueError("A is a callable; At must be its adjoint callable")
