@@ -30,18 +30,20 @@ def test_as_linear_op_dispatches_scipy():
 
 
 def test_sparse_lasso_solve_matches_dense():
-    """Full solve through a sparse operator equals the dense solve."""
-    M = sp.random(60, 90, density=0.15, format="csr", random_state=3)
+    """Full solve through a sparse operator equals the dense solve.
+    Overdetermined instance (unique minimizer) — underdetermined L1
+    problems have degenerate optima where fp noise picks the vertex."""
+    M = sp.random(90, 60, density=0.15, format="csr", random_state=3)
     A_dense = jnp.asarray(M.toarray())
-    b = jnp.asarray(RNG.standard_normal(60))
+    b = jnp.asarray(RNG.standard_normal(90))
     mu = 0.05
     opts = ft.FastaOptions(tol=1e-8, max_iters=200,
                            record_objective=True)
     r_sp = ft.solve(ft.SparseOp.from_scipy(M, dtype=jnp.float64),
                     ft.LeastSquares(b), ft.L1Norm(mu),
-                    jnp.zeros(90), 0.1, opts)
+                    jnp.zeros(60), 0.1, opts)
     r_dn = ft.solve(ft.DenseOp(A_dense), ft.LeastSquares(b), ft.L1Norm(mu),
-                    jnp.zeros(90), 0.1, opts.replace(fuse=False))
+                    jnp.zeros(60), 0.1, opts.replace(fuse=False))
     # early trajectory identical; late iterations bifurcate at 1e-15
     # matvec noise on this degenerate underdetermined instance, so the
     # invariant is the objective
