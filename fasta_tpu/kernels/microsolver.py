@@ -44,7 +44,7 @@ def supports_microsolver(m: int, n: int, dtype) -> bool:
 
 
 def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
-                 max_backtracks, kpad, engine="mxu"):
+                 max_backtracks, kpad, engine="mxu", prox="l1"):
     prec = jax.lax.Precision.HIGHEST
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
@@ -80,10 +80,19 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         fwin = jnp.where(lane_w == 0, f0,
                          jnp.full((1, _WPAD), -jnp.inf, jnp.float32))
 
-        def shrink(z, t):
-            mag = jnp.abs(z)
-            return z * (jnp.maximum(mag - t, 0.0)
-                        / jnp.maximum(mag, 1e-30))
+        if prox == "l1":
+            def shrink(z, t):
+                mag = jnp.abs(z)
+                return z * (jnp.maximum(mag - t, 0.0)
+                            / jnp.maximum(mag, 1e-30))
+        elif prox == "nonneg":
+            def shrink(z, t):
+                return jnp.maximum(z, 0.0)
+        elif prox == "box":
+            def shrink(z, t):
+                return jnp.clip(z, -1.0, 1.0)
+        else:                              # pragma: no cover
+            raise ValueError(f"unknown prox {prox!r}")
 
         # carry: k, stop, x, gradf, tau, fwin, max_res, taus, res, bt_tot
         def cond(c):
@@ -168,11 +177,13 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
 @functools.partial(
     jax.jit,
     static_argnames=("mu", "max_iters", "window", "tol", "shrink_factor",
-                     "max_backtracks", "interpret", "engine"))
+                     "max_backtracks", "interpret", "engine", "prox"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
-                     interpret=False, engine="mxu"):
-    """Whole-solve kernel for  min ½‖Ax−b‖² + μ‖x‖₁  (adaptive mode).
+                     interpret=False, engine="mxu", prox="l1"):
+    """Whole-solve kernel for  min ½‖Ax−b‖² + g(x)  (adaptive mode) with
+    g selected by ``prox``: "l1" (μ‖·‖₁ — LASSO/BPDN), "nonneg" (NNLS),
+    or "box" ([−1,1] indicator).
 
     Returns (x, taus[max_iters], residuals[max_iters], iteration_count,
     converged).
@@ -180,7 +191,7 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     m, n = A.shape
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
-                        max_backtracks, kpad, engine)
+                        max_backtracks, kpad, engine, prox)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
     x, taus, res, k, conv = pl.pallas_call(
         kern,

@@ -31,6 +31,23 @@ def test_microsolver_matches_xla_solver(engine):
     np.testing.assert_allclose(np.asarray(x), r.solution, atol=1e-5)
 
 
+def test_microsolver_nnls_prox():
+    """prox='nonneg' turns the microsolver into an on-chip NNLS solve."""
+    prob = problems.build("nnls", m=120, n=60, dtype=jnp.float32)
+    inst = prob.instance
+    x, taus, res, k, conv = microsolve_lasso(
+        jnp.asarray(inst["A"], jnp.float32),
+        jnp.asarray(inst["b"], jnp.float32),
+        jnp.asarray(inst["x0"], jnp.float32),
+        0.08, 0.0, max_iters=200, tol=1e-6, interpret=True,
+        prox="nonneg")
+    prob.tau0 = 0.08
+    r = prob.solve(tol=1e-6, max_iters=200, fuse=False)
+    assert int(k) == r.iteration_count
+    np.testing.assert_allclose(np.asarray(x), r.solution, atol=1e-5)
+    assert float(jnp.min(x)) >= 0.0
+
+
 def test_microsolver_backtracking_path():
     """Huge tau0 must trigger in-kernel backtracking and still solve."""
     prob = problems.build("lasso", m=120, n=240, k=10, dtype=jnp.float32)
