@@ -60,6 +60,9 @@ Algorithm spec (one iteration, mirroring the state carried by the solver):
                  x1 = x_accel1 + (a0-1)/a1 * (x_accel1 - x_accel0)
                  d1 = d_accel1 + (a0-1)/a1 * (d_accel1 - d_accel0)
                  gradf1 = At gradf(d1) ; f1 = f(d1) ; tau1 = tau0
+                 (this f1 — at the EXTRAPOLATED point — is what enters
+                  the nonmonotone window and the fvals record: see the
+                  window-semantics note in [backtrack] above)
     [plain]      gradf1 = At gradf(d1) ; tau1 = tau0
 
 Note the single-matvec trick: because A is linear, the accelerated point's
