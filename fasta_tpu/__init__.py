@@ -31,8 +31,9 @@ from .solver import (
     fasta, solve, make_solver, make_batch_solver, estimate_stepsize,
     FastaResult, DeviceResult, SolverState, Diagnostics,
 )
+from . import precision
 from .terms import (
-    SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge,
+    SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge, NMFLoss,
     PlanarPhaseHinge, SquaredHinge, FunctionSmooth, ProxTerm, L1Norm,
     LinfNorm, L21Norm, NuclearNorm, NonnegIndicator, BoxIndicator,
     LinfBallIndicator, MaxRowNormBall, LinearAnchor, PlanarLinearAnchor,

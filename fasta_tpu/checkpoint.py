@@ -6,7 +6,9 @@ capability is provided at two levels:
   * ``save_pytree`` / ``load_pytree`` — serialize ANY solver pytree
     (``DeviceResult``, a ``Problem``'s arrays, a mid-run ``SolverState``)
     to a single ``.npz`` file keyed by tree paths.  No external
-    dependencies; works for complex dtypes.
+    dependencies; works for complex dtypes.  Loading verifies the key
+    set against the example structure — a checkpoint from a different
+    pytree fails loudly instead of silently mis-assigning arrays.
   * ``resume(problem, result, ...)`` — warm-restart a solve from a prior
     result: the fixed-point iteration restarts from the last iterate with
     the last accepted stepsize.  For FBS this is semantically a resume
@@ -29,31 +31,41 @@ __all__ = ["save_pytree", "load_pytree", "resume"]
 
 
 def _path_key(path) -> str:
-    return "/".join(str(getattr(p, "name", getattr(p, "idx", getattr(p, "key", p))))
-                    for p in path)
+    key = "/".join(
+        str(getattr(p, "name", getattr(p, "idx", getattr(p, "key", p))))
+        for p in path)
+    return key or "<root>"
 
 
 def save_pytree(tree: Any, path: str) -> str:
-    """Serialize a pytree of arrays to ``path`` (.npz).  Leaf order is
-    the tree's canonical flatten order; structure must be supplied again
-    at load time (pass an example tree)."""
-    leaves = jax.tree_util.tree_leaves(tree)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    """Serialize a pytree of arrays to ``path`` (.npz), each leaf keyed
+    by its tree path — the load side verifies the key set, so a
+    checkpoint can only be restored into the structure it came from."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    arrays = {_path_key(p): np.asarray(leaf) for p, leaf in flat}
+    if len(arrays) != len(flat):
+        raise ValueError("pytree has colliding path keys; cannot save")
     np.savez(path, **arrays)
     return path
 
 
 def load_pytree(example: Any, path: str) -> Any:
     """Rebuild a pytree saved by ``save_pytree``; ``example`` provides
-    the structure (shapes need not match — arrays load as stored)."""
+    the structure.  The checkpoint's path-key set must match the
+    example's exactly (shapes load as stored — a resume may legitimately
+    carry different diagnostic lengths)."""
     data = np.load(path)
-    leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
-    treedef = jax.tree_util.tree_structure(example)
-    if treedef.num_leaves != len(leaves):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(example)
+    want = [_path_key(p) for p, _ in flat]
+    have = set(data.files)
+    if set(want) != have:
+        missing = sorted(set(want) - have)
+        extra = sorted(have - set(want))
         raise ValueError(
-            f"checkpoint has {len(leaves)} leaves, structure expects "
-            f"{treedef.num_leaves}")
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+            f"checkpoint does not match the example structure: "
+            f"missing keys {missing[:5]}, unexpected keys {extra[:5]} "
+            f"({len(missing)} missing / {len(extra)} unexpected total)")
+    return jax.tree_util.tree_unflatten(treedef, [data[k] for k in want])
 
 
 def resume(problem, result: FastaResult,

@@ -71,19 +71,22 @@ def _row_tile(m_pad: int, n: int, cap: int = 512,
 
 import os
 
-# The Pallas path is opt-in until its on-hardware validation suite has
-# passed on the target backend (interpret-mode tests pass; the tunneled
-# dev chip shows a numeric divergence under investigation).  The XLA
-# fallback is mathematically identical, so correctness never depends on
-# this switch.
-_PALLAS_ENABLED = os.environ.get("FASTA_TPU_PALLAS", "0") == "1"
+
+def pallas_enabled() -> bool:
+    """The Pallas opt-in switch, read DYNAMICALLY at trace time — the
+    solver cache keys on the same read (solver.py make_solver), so
+    toggling FASTA_TPU_PALLAS mid-process always selects a matching
+    executable.  Opt-in because the streaming GEMV kernel does not yet
+    beat XLA's two-pass rate (module docstring); the XLA fallback is
+    mathematically identical, so correctness never depends on this."""
+    return os.environ.get("FASTA_TPU_PALLAS", "0") == "1"
 
 
 def supports_fusion(m: int, n: int, dtype) -> bool:
     """Pallas path preconditions: real f32 on a TPU backend (rows are
     zero-padded to the 128 lane granularity internally)."""
     del m, n
-    return (_PALLAS_ENABLED
+    return (pallas_enabled()
             and jax.default_backend() == "tpu"
             and dtype == jnp.float32)
 

@@ -71,6 +71,14 @@ class FastaOptions:
     # scalar, OR-combined with the selected stop_rule.  Hashed by
     # identity (use a module-level function for cache stability).
     stop_fn: Optional[Callable] = None
+    # Decision-scalar precision (SURVEY.md §7 hard part 3).  "high"
+    # carries every stepsize/backtracking/stopping scalar (⟨Δx,Δg⟩,
+    # ‖·‖², f-values and the nonmonotone window) in double-word float32
+    # arithmetic (fasta_tpu/precision.py) — oracle-grade decisions on
+    # the float32 TPU data path without emulated float64.  "auto" (the
+    # default) enables this exactly when the iterate dtype is below
+    # float64; "standard" uses plain working-precision reductions.
+    precision: str = "auto"
 
     # Mode precedence matches the oracle (fasta_numpy.py: ``if adaptive and
     # not accelerate ... elif accelerate``): acceleration wins when both are
@@ -88,6 +96,10 @@ class FastaOptions:
         if self.stop_rule not in STOP_RULES:
             raise ValueError(
                 f"stop_rule must be one of {STOP_RULES}, got {self.stop_rule!r}")
+        if self.precision not in ("auto", "standard", "high"):
+            raise ValueError(
+                "precision must be 'auto', 'standard' or 'high', "
+                f"got {self.precision!r}")
         if self.window < 1:
             raise ValueError("window must be >= 1")
         if self.max_iters < 1:

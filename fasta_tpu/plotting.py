@@ -41,11 +41,7 @@ def plot_convergence(results: Dict[str, FastaResult], *,
         if y is None:
             continue
         y = np.asarray(y)
-        if quantity == "objectives":
-            # plot gap to the best objective seen across modes
-            ax.plot(np.arange(1, y.size + 1), y, label=mode)
-        else:
-            ax.plot(np.arange(1, y.size + 1), y, label=mode)
+        ax.plot(np.arange(1, y.size + 1), y, label=mode)
     ax.set_xlabel("iteration")
     ax.set_ylabel(quantity.replace("_", " "))
     if logy:

@@ -87,8 +87,13 @@ def project_l1_ball(z, radius=1.0):
 def prox_linf(z, t):
     """Prox of  t·‖·‖∞  via Moreau decomposition:
     prox_{t‖·‖∞}(z) = z − t·P_{‖·‖₁≤1}(z/t)  — used by democratic
-    representations (min-max-magnitude problems)."""
-    return z - t * project_l1_ball(z / t, 1.0)
+    representations (min-max-magnitude problems).
+
+    Degenerate t ≤ 0 (reachable: t = τ·μ and μ is a sweepable leaf, so a
+    vmap sweep may include μ=0) returns z — the identity prox of the
+    zero function — instead of NaN from the z/t division."""
+    safe = z - t * project_l1_ball(z / jnp.maximum(t, 1e-30), 1.0)
+    return jnp.where(t > 0, safe, z)
 
 
 def svt(Z, t):

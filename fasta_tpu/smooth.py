@@ -1,17 +1,15 @@
-"""Smooth-term library: (f, gradf) pairs for the canonical problems.
+"""Reference-style (f, gradf) closure builders — thin views over the
+pytree terms in ``fasta_tpu.terms`` (the single source of truth for the
+objective math; SURVEY.md §2.2).
 
-The solver consumes ``f(d) -> scalar`` and ``gradf(d) -> array`` evaluated
-at ``d = A x`` (the measurement-space point).  These are the f's the
-reference's example suite uses (SURVEY.md §2.2): quadratic least squares,
-stable logistic loss, and the smooth hinge of PhaseMax-style phase
-retrieval.  All are complex-safe where meaningful and reduce with
-``jnp.sum`` so under a row-sharded mesh XLA turns the reduction into a
-``psum`` automatically.
-"""
+The solver's native interface takes :class:`~fasta_tpu.terms.SmoothTerm`
+objects; these builders exist for reference-compatible callers that want
+bare callables (the upstream API shape).  Each simply binds the
+corresponding term's methods, so the formulas cannot drift."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from . import terms as _terms
 
 __all__ = [
     "least_squares", "logistic", "phase_hinge", "objective_l1",
@@ -19,50 +17,24 @@ __all__ = [
 
 
 def least_squares(b):
-    """f(d) = ½‖d − b‖²  (complex-safe: ‖·‖ is the Hermitian norm)."""
-    def f(d):
-        r = d - b
-        return 0.5 * jnp.real(jnp.vdot(r, r))
-
-    def gradf(d):
-        return d - b
-
-    return f, gradf
+    """f(d) = ½‖d − b‖² (complex-safe) — terms.LeastSquares as a pair."""
+    t = _terms.LeastSquares(b)
+    return t.value, t.grad
 
 
 def logistic(b):
-    """Logistic loss  f(d) = Σ log(1+exp(d_i)) − bᵀd,  labels b ∈ {0,1}.
-
-    Stable evaluation  log(1+exp(d)) = max(d,0) + log1p(exp(−|d|))
-    matches the oracle (reference_oracle/generators.py make_logistic)."""
-    def f(d):
-        return jnp.sum(jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
-                       - b * d)
-
-    def gradf(d):
-        return 1.0 / (1.0 + jnp.exp(-d)) - b
-
-    return f, gradf
+    """Stable logistic loss, labels b ∈ {0,1} — terms.Logistic as a
+    pair."""
+    t = _terms.Logistic(b)
+    return t.value, t.grad
 
 
 def phase_hinge(b):
-    """Smooth circular hinge for PhaseMax-style phase retrieval:
-    f(d) = ½ Σ max(|d|−b, 0)²  with Wirtinger gradient
-    ∇f(d) = max(|d|−b,0) · d/|d|  (oracle: make_phase_retrieval)."""
-    def f(d):
-        r = jnp.maximum(jnp.abs(d) - b, 0.0)
-        return 0.5 * jnp.sum(r * r)
-
-    def gradf(d):
-        mag = jnp.abs(d)
-        r = jnp.maximum(mag - b, 0.0)
-        return (r / jnp.maximum(mag, 1e-30)) * d
-
-    return f, gradf
+    """PhaseMax smooth circular hinge — terms.PhaseHinge as a pair."""
+    t = _terms.PhaseHinge(b)
+    return t.value, t.grad
 
 
 def objective_l1(mu):
-    """g(x) = μ‖x‖₁ — the nonsmooth objective value (for recording)."""
-    def g(x):
-        return mu * jnp.sum(jnp.abs(x))
-    return g
+    """g(x) = μ‖x‖₁ — terms.L1Norm's value (for recording)."""
+    return _terms.L1Norm(mu).value

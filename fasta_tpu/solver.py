@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import precision as prec
 from .operators import LinearOp, as_linear_op
 from .options import FastaOptions
 from .terms import ProxTerm, SmoothTerm, as_prox_term, as_smooth_term
@@ -120,7 +121,13 @@ class DeviceResult(NamedTuple):
 class FastaResult:
     """Host-side result with trimmed diagnostic arrays — mirrors the
     oracle's ``FastaResult`` field for field (reference outputs per
-    arXiv:1501.04979 §5)."""
+    arXiv:1501.04979 §5).
+
+    ``solve_time`` is wall clock around the jitted call and INCLUDES XLA
+    compilation when the (options, shapes) pair is cold — tens of
+    seconds on a remote TPU.  It is not comparable to the oracle's
+    solve_time on a cold cache; benchmarks use ``make_solver`` +
+    warm-up + host-readback timing instead (benchmarks/run.py)."""
     solution: np.ndarray
     best_iterate: np.ndarray
     iteration_count: int
@@ -139,23 +146,34 @@ class FastaResult:
     nonfinite: bool = False
 
 
-def estimate_stepsize(op: LinearOp, fterm: SmoothTerm, x0, key) -> tuple:
+def estimate_stepsize(op: LinearOp, fterm: SmoothTerm, x0, key,
+                      points: Optional[tuple] = None) -> tuple:
     """C8: Lipschitz/initial-stepsize estimation from two random points:
     L ≈ ‖∇f̃(z₁)−∇f̃(z₂)‖/‖z₁−z₂‖ with ∇f̃(x) = Aᴴ∇f(Ax), τ₀ = (2/L)/10
-    (the reference's convention; oracle fasta_numpy.py C8 block)."""
+    (the reference's convention; oracle fasta_numpy.py C8 block).
+
+    ``points=(z1, z2)`` bypasses the JAX RNG with caller-supplied
+    estimation points — generate them once in NumPy and feed the same
+    pair to the oracle's ``est_points`` for auto-τ₀ trajectory parity
+    (SURVEY.md §7 hard part 5)."""
     x0 = jnp.asarray(x0)
-    if isinstance(key, int):
-        key = jax.random.PRNGKey(key)
-    k1, k2 = jax.random.split(key)
-    if jnp.issubdtype(x0.dtype, jnp.complexfloating):
-        def rnd(k):
-            ka, kb = jax.random.split(k)
-            return (jax.random.normal(ka, x0.shape)
-                    + 1j * jax.random.normal(kb, x0.shape)).astype(x0.dtype)
+    if points is not None:
+        z1 = jnp.asarray(points[0], x0.dtype)
+        z2 = jnp.asarray(points[1], x0.dtype)
     else:
-        def rnd(k):
-            return jax.random.normal(k, x0.shape, x0.dtype)
-    z1, z2 = rnd(k1), rnd(k2)
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        k1, k2 = jax.random.split(key)
+        if jnp.issubdtype(x0.dtype, jnp.complexfloating):
+            def rnd(k):
+                ka, kb = jax.random.split(k)
+                return (jax.random.normal(ka, x0.shape)
+                        + 1j * jax.random.normal(kb, x0.shape)
+                        ).astype(x0.dtype)
+        else:
+            def rnd(k):
+                return jax.random.normal(k, x0.shape, x0.dtype)
+        z1, z2 = rnd(k1), rnd(k2)
     g1 = op.rmatvec(fterm.grad(op(z1)))
     g2 = op.rmatvec(fterm.grad(op(z2)))
     L = _norm(g1 - g2) / jnp.maximum(_norm(z2 - z1), 1e-30)
@@ -182,6 +200,30 @@ def _make_solve_fn(opts: FastaOptions):
         rdt = _real_dtype(x0.dtype)
         tau0 = jnp.asarray(tau0, rdt)
 
+        # High-precision decision scalars (SURVEY.md §7 hard part 3):
+        # below float64, every stepsize/backtracking/stopping reduction
+        # runs in double-word arithmetic (fasta_tpu/precision.py) so the
+        # f32 trajectory tracks the f64 oracle's decisions instead of
+        # stalling on reduction noise (round-1 VERDICT item 1).
+        hp = (opts.precision == "high"
+              or (opts.precision == "auto"
+                  and np.dtype(rdt) == np.float32))
+
+        # Only the CANCELLATION-PRONE scalars run in double-word: the
+        # f-values/window (f1 − M resolves below f32 ulp), ⟨Δx,∇f(y)⟩
+        # (backtracking), ⟨Δx,Δg⟩ (BB numerator) and the restart dot —
+        # these have mixed signs and near-total cancellation at
+        # convergence.  Positive sums (‖Δx‖², ‖Δg‖², the normalizer
+        # norms) carry no cancellation: plain f32 tree sums are ~1e-6
+        # relative, harmless for stepsizes/stopping, and each avoided dd
+        # reduction saves a dispatch on the latency-bound loop.
+        def fval(d):
+            """f(d): DD pair under hp, plain rdt scalar otherwise."""
+            return fterm.value_dd(d) if hp else fterm.value(d).astype(rdt)
+
+        def f_collapse(fv):
+            return prec.dd_to_float(fv) if hp else fv
+
         # Optional fused one-pass (d, f, Aᴴ∇f) evaluation (TPU hot path).
         fused = fterm.fused_gradmap(op) if opts.fuse else None
         # Zero-matvec FISTA gradient extrapolation: valid when ∇f is
@@ -191,10 +233,15 @@ def _make_solve_fn(opts: FastaOptions):
                         and fterm.grad_affine)
 
         d0 = op(x0)
-        f0 = fterm.value(d0).astype(rdt)
+        f0 = fval(d0)
         gradf0 = op.rmatvec(fterm.grad(d0))
 
-        fwin = jnp.full((W,), -jnp.inf, rdt).at[0].set(f0)
+        if hp:
+            fwin = prec.DD(
+                jnp.full((W,), -jnp.inf, rdt).at[0].set(f0.hi),
+                jnp.zeros((W,), rdt).at[0].set(f0.lo))
+        else:
+            fwin = jnp.full((W,), -jnp.inf, rdt).at[0].set(f0)
 
         diags = Diagnostics(
             residuals=jnp.zeros((opts.max_iters,), rdt),
@@ -243,10 +290,13 @@ def _make_solve_fn(opts: FastaOptions):
                 Dx = x1 - x0_
                 if fused is not None:
                     d1, f1, grad1 = fused(x1)
-                    f1 = f1.astype(rdt)
+                    # hp: replace the fused pass's plain-precision f with
+                    # a double-word re-reduction over d1 (O(m) elementwise
+                    # — negligible next to the matvec it rode in on).
+                    f1 = fval(d1) if hp else f1.astype(rdt)
                 else:
                     d1 = op(x1)
-                    f1 = fterm.value(d1).astype(rdt)
+                    f1 = fval(d1)
                     grad1 = None
                 return x1hat, x1, Dx, d1, f1, grad1
 
@@ -255,13 +305,35 @@ def _make_solve_fn(opts: FastaOptions):
 
             # 4: nonmonotone backtracking line search (Zhang–Hager window)
             if opts.backtrack:
-                M = jnp.max(s.fwin)
+                M = prec.dd_max(s.fwin) if hp else jnp.max(s.fwin)
+
+                # Backtracking slack: the oracle uses an absolute 1e-12
+                # (float64 noise floor).  Under f32 STORAGE the true
+                # f(prox(y−τg)) can genuinely exceed the window max by
+                # O(eps32)·scale — the iterates themselves are rounded —
+                # so the hp path adds a relative term at the f32 noise
+                # floor; otherwise the final iterations burn
+                # max_backtracks futile trials (tau collapse).
+                if hp:
+                    slack = 1e-12 + (64.0 * np.finfo(np.float32).eps) \
+                        * (jnp.abs(M.hi) + jnp.abs(f_collapse(f1)))
 
                 def bt_cond(c):
                     tau_c, _x1hat, _x1, Dx_c, _d1, f1_c, _g1, bt_c = c
-                    suff = (M + _redot(Dx_c, gradf0_)
-                            + _norm2(Dx_c) / (2.0 * tau_c))
-                    return (f1_c - 1e-12 > suff) & (bt_c < opts.max_backtracks)
+                    if hp:
+                        # ⟨Δx,∇f(y)⟩ cancels (descent direction) → dd;
+                        # ‖Δx‖²/(2τ) is a positive sum → plain f32
+                        # lifted exactly.
+                        q = _norm2(Dx_c) / (2.0 * tau_c)
+                        suff = prec.dd_add(M, prec.dd_add(
+                            prec.dot_dd(Dx_c, gradf0_), prec.dd(q)))
+                        viol = prec.dd_to_float(
+                            prec.dd_sub(f1_c, suff)) > slack
+                    else:
+                        suff = (M + _redot(Dx_c, gradf0_)
+                                + _norm2(Dx_c) / (2.0 * tau_c))
+                        viol = f1_c - 1e-12 > suff
+                    return viol & (bt_c < opts.max_backtracks)
 
                 def bt_body(c):
                     tau_c, *_, bt_c = c
@@ -272,7 +344,9 @@ def _make_solve_fn(opts: FastaOptions):
                     bt_cond, bt_body,
                     (tau, x1hat, x1, Dx, d1, f1, grad1, bt))
 
-            # 5: residuals, diagnostics, best-iterate tracking (C4/C5)
+            # 5: residuals, diagnostics, best-iterate tracking (C4/C5).
+            # Norms are positive sums — plain working precision in every
+            # mode (see the hp note above).
             res = _norm(Dx) / tau
             max_res = jnp.maximum(s.max_residual, res)
             normalizer = (jnp.maximum(_norm(gradf0_), _norm(x1 - x1hat) / tau)
@@ -281,7 +355,8 @@ def _make_solve_fn(opts: FastaOptions):
 
             k = s.k
             d_ = s.diags
-            obj = (f1 + gterm.value(x1).astype(rdt)
+            f1_f = f_collapse(f1)
+            obj = (f1_f + gterm.value(x1).astype(rdt)
                    if opts.record_objective else None)
             new_diags = Diagnostics(
                 residuals=d_.residuals.at[k].set(res),
@@ -304,7 +379,7 @@ def _make_solve_fn(opts: FastaOptions):
                 jax.debug.print(
                     "[fasta-tpu] iter {k}  tau {t:.3e}  resid {r:.3e}  "
                     "nresid {n:.3e}  f {f:.6e}  bt {b}",
-                    k=k, t=tau, r=res, n=nres, f=f1, b=bt)
+                    k=k, t=tau, r=res, n=nres, f=f1_f, b=bt)
 
             # stopping rule (static selection; oracle-identical formulas)
             if opts.stop_rule == "residual":
@@ -321,11 +396,11 @@ def _make_solve_fn(opts: FastaOptions):
 
             # custom stopping hook (reference stopNow analog)
             if opts.stop_fn is not None:
-                stop = stop | opts.stop_fn(k, res, nres, max_res, f1)
+                stop = stop | opts.stop_fn(k, res, nres, max_res, f1_f)
 
             # sanitizer: stop on NaN/Inf rather than iterating on garbage
             if opts.guard_nonfinite:
-                bad = ~(jnp.isfinite(f1) & jnp.isfinite(res))
+                bad = ~(jnp.isfinite(f1_f) & jnp.isfinite(res))
                 stop = stop | bad
             else:
                 bad = s.nonfinite    # stays False
@@ -337,7 +412,11 @@ def _make_solve_fn(opts: FastaOptions):
                 gradf1 = grad1 if fused is not None \
                     else op.rmatvec(fterm.grad(d1))
                 Dg = gradf1 + (x1hat - x0_) / tau       # == gradf1 - gradf0
-                dotprod = _redot(Dx, Dg)
+                # ⟨Δx,Δg⟩ is the classic cancellation victim near
+                # convergence → dd under hp; ‖Δx‖²/‖Δg‖² are positive
+                # sums → plain precision everywhere.
+                dotprod = (prec.dd_to_float(prec.dot_dd(Dx, Dg)) if hp
+                           else _redot(Dx, Dg))
                 nDx2 = _norm2(Dx)
                 nDg2 = _norm2(Dg)
                 tau_s = jnp.where(dotprod != 0.0, nDx2 / dotprod, jnp.inf)
@@ -356,7 +435,10 @@ def _make_solve_fn(opts: FastaOptions):
                     x_accel0, d_accel0, alpha0 = s.accel
                 # O'Donoghue–Candès gradient-based adaptive restart
                 if opts.restart:
-                    rst = _redot(x0_ - x1, x1 - x_accel0) > 0.0
+                    rdot = (prec.dd_to_float(
+                                prec.dot_dd(x0_ - x1, x1 - x_accel0))
+                            if hp else _redot(x0_ - x1, x1 - x_accel0))
+                    rst = rdot > 0.0
                     alpha0 = jnp.where(rst, jnp.ones((), rdt), alpha0)
                 alpha1 = (1.0 + jnp.sqrt(1.0 + 4.0 * alpha0 ** 2)) / 2.0
                 beta = ((alpha0 - 1.0) / alpha1).astype(rdt)
@@ -380,8 +462,9 @@ def _make_solve_fn(opts: FastaOptions):
                 # O(m) elementwise; no matvec.  On a converged stop the
                 # loop exits, so the prox-point value is recorded
                 # (oracle break semantics).
-                f_record = jnp.where(stop, f1,
-                                     fterm.value(d_next).astype(rdt))
+                f_next = fval(d_next)
+                f_record = (prec.dd_where(stop, f1, f_next) if hp
+                            else jnp.where(stop, f1, f_next))
             else:
                 gradf_next = grad1 if fused is not None \
                     else op.rmatvec(fterm.grad(d1))
@@ -390,9 +473,14 @@ def _make_solve_fn(opts: FastaOptions):
 
             if not accelerated:
                 f_record = f1
-            fwin = s.fwin.at[(k + 1) % W].set(f_record)
+            if hp:
+                idx = (k + 1) % W
+                fwin = prec.DD(s.fwin.hi.at[idx].set(f_record.hi),
+                               s.fwin.lo.at[idx].set(f_record.lo))
+            else:
+                fwin = s.fwin.at[(k + 1) % W].set(f_record)
             new_diags = new_diags._replace(
-                fvals=new_diags.fvals.at[k].set(f_record))
+                fvals=new_diags.fvals.at[k].set(f_collapse(f_record)))
 
             # Oracle solution semantics: on a converged stop the loop
             # breaks at the prox iterate; at max-iters exhaustion the last
@@ -487,6 +575,7 @@ def fasta(
     tau0: Optional[float] = None,
     L: Optional[float] = None,
     key: int = 0,
+    est_points: Optional[tuple] = None,
     check_adjoint_first: bool = False,
     **opt_kwargs,
 ) -> FastaResult:
@@ -515,7 +604,8 @@ def fasta(
     L_est = None
     if tau0 is None:
         if L is None:
-            tau0_arr, L_arr = estimate_stepsize(op, fterm, x0, key)
+            tau0_arr, L_arr = estimate_stepsize(op, fterm, x0, key,
+                                                points=est_points)
             tau0 = float(tau0_arr)
             L_est = float(L_arr)
         else:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from . import prox as _prox
 
 __all__ = [
-    "SmoothTerm", "LeastSquares", "Logistic", "PhaseHinge",
+    "SmoothTerm", "LeastSquares", "Logistic", "PhaseHinge", "NMFLoss",
     "FunctionSmooth", "ProxTerm", "L1Norm", "NonnegIndicator",
     "BoxIndicator", "LinfBallIndicator", "LinearAnchor", "NuclearNorm",
     "L21Norm", "LinfNorm", "MaxRowNormBall", "ZeroTerm", "FunctionProx",
@@ -49,6 +49,16 @@ class SmoothTerm:
 
     def value(self, d):
         raise NotImplementedError
+
+    def value_dd(self, d):
+        """f(d) as a double-word (hi, lo) pair — used by the solver's
+        high-precision float32 path (fasta_tpu/precision.py) so the
+        nonmonotone-window comparisons resolve differences far below
+        float32 ulp.  Default: exact lift of the plain value (no extra
+        precision); terms whose value is a large reduction override
+        this with a compensated reduction."""
+        from .precision import dd
+        return dd(self.value(d))
 
     def grad(self, d):
         raise NotImplementedError
@@ -82,6 +92,10 @@ class LeastSquares(SmoothTerm):
         r = d - self.b
         return 0.5 * jnp.real(jnp.vdot(r, r))
 
+    def value_dd(self, d):
+        from . import precision as _p
+        return _p.dd_scale(_p.norm2_dd(d - self.b), 0.5)
+
     def grad(self, d):
         return d - self.b
 
@@ -98,11 +112,11 @@ class LeastSquares(SmoothTerm):
             return sharded_lstsq_gradmap(op, self.b)
         if (isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D)
                 and jnp.asarray(self.b).ndim == 2):
-            from .kernels.lstsq_fused import _PALLAS_ENABLED
+            from .kernels.lstsq_fused import pallas_enabled
             from .kernels.tv_fused import (fused_tv_gradmap,
                                            tv_gradmap_reference)
             mu = float(op.c)
-            if (_PALLAS_ENABLED and jax.default_backend() == "tpu"
+            if (pallas_enabled() and jax.default_backend() == "tpu"
                     and jnp.asarray(self.b).dtype == jnp.float32):
                 return lambda p: fused_tv_gradmap(p, self.b, mu)
             return lambda p: tv_gradmap_reference(p, self.b, mu)
@@ -138,6 +152,12 @@ class Logistic(SmoothTerm):
     def value(self, d):
         return jnp.sum(jnp.maximum(d, 0.0)
                        + jnp.log1p(jnp.exp(-jnp.abs(d))) - self.b * d)
+
+    def value_dd(self, d):
+        from . import precision as _p
+        ell = (jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
+               - self.b * d)
+        return _p.sum_dd(ell)
 
     def grad(self, d):
         return 1.0 / (1.0 + jnp.exp(-d)) - self.b
@@ -176,6 +196,12 @@ class MaskedLogistic(SmoothTerm):
             - self.Y * d
         return jnp.sum(self.mask * loss)
 
+    def value_dd(self, d):
+        from . import precision as _p
+        loss = jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d))) \
+            - self.Y * d
+        return _p.sum_dd(self.mask * loss)
+
     def grad(self, d):
         return self.mask * (1.0 / (1.0 + jnp.exp(-d)) - self.Y)
 
@@ -198,6 +224,11 @@ class PhaseHinge(SmoothTerm):
     def value(self, d):
         r = jnp.maximum(jnp.abs(d) - self.b, 0.0)
         return 0.5 * jnp.sum(r * r)
+
+    def value_dd(self, d):
+        from . import precision as _p
+        r = jnp.maximum(jnp.abs(d) - self.b, 0.0)
+        return _p.dd_scale(_p.norm2_dd(r), 0.5)
 
     def grad(self, d):
         mag = jnp.abs(d)
@@ -234,6 +265,12 @@ class PlanarPhaseHinge(SmoothTerm):
         r = jnp.maximum(mag - self.b, 0.0)
         return 0.5 * jnp.sum(r * r)
 
+    def value_dd(self, d):
+        from . import precision as _p
+        mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        r = jnp.maximum(mag - self.b, 0.0)
+        return _p.dd_scale(_p.norm2_dd(r), 0.5)
+
     def grad(self, d):
         mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
         r = jnp.maximum(mag - self.b, 0.0)
@@ -266,6 +303,11 @@ class SquaredHinge(SmoothTerm):
         r = jnp.maximum(0.0, 1.0 - self.y * d)
         return 0.5 * jnp.sum(r * r)
 
+    def value_dd(self, d):
+        from . import precision as _p
+        r = jnp.maximum(0.0, 1.0 - self.y * d)
+        return _p.dd_scale(_p.norm2_dd(r), 0.5)
+
     def grad(self, d):
         r = jnp.maximum(0.0, 1.0 - self.y * d)
         return -self.y * r
@@ -282,6 +324,52 @@ class SquaredHinge(SmoothTerm):
 
     def tree_flatten(self):
         return (self.y,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class NMFLoss(SmoothTerm):
+    """Joint nonnegative-matrix-factorization loss on the STACKED factor
+    variable X = [W; H] ∈ ℝ^{(d1+d2)×r} (identity operator):
+
+        f(X) = ½‖W Hᵀ − Y‖²_F ,
+        ∇f   = [R H; Rᵀ W],  R = W Hᵀ − Y.
+
+    The [P1] paper's remaining FBS application (SURVEY.md §2.2 note):
+    f is smooth but nonconvex — FBS iterates are well-defined and the
+    oracle (reference_oracle/generators.py make_nmf) runs the identical
+    math, so parity is per-iteration trajectory parity.  The inner
+    (d1,r)×(r,d2) products are MXU-shaped matmuls."""
+
+    def __init__(self, Y):
+        self.Y = Y
+
+    @property
+    def _d1(self):
+        return self.Y.shape[0]
+
+    def _residual(self, X):
+        W, H = X[:self._d1], X[self._d1:]
+        return W @ H.T - self.Y
+
+    def value(self, X):
+        R = self._residual(X)
+        return 0.5 * jnp.sum(R * R)
+
+    def value_dd(self, X):
+        from . import precision as _p
+        return _p.dd_scale(_p.norm2_dd(self._residual(X)), 0.5)
+
+    def grad(self, X):
+        W, H = X[:self._d1], X[self._d1:]
+        R = W @ H.T - self.Y
+        return jnp.concatenate([R @ H, R.T @ W], axis=0)
+
+    def tree_flatten(self):
+        return (self.Y,), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -19,6 +19,8 @@ Additional capability parity (upstream example set, SURVEY.md §2.2):
   mmv              E7  multiple-measurement-vector row sparsity (L2,1)
   matrix_completion E8 logistic 1-bit matrix completion (SVT prox)
   max_norm         E9  max-norm regularized factorization surrogate
+  sparse_lasso     E10 LASSO over a scipy-sparse operator (BCOO SparseOp)
+  nmf              E11 joint nonnegative matrix factorization ([P1] app.)
 """
 
 from typing import Callable, Dict
@@ -37,5 +39,5 @@ def build(name: str, **kwargs):
     """Construct a named problem instance: ``build('lasso', m=..., ...)``."""
     from . import (lasso, nnls, logistic, tv, phase_retrieval,  # noqa: F401
                    phase_retrieval_cdp, democratic, mmv,
-                   matrix_completion, max_norm, svm)
+                   matrix_completion, max_norm, svm, nmf, sparse_lasso)
     return REGISTRY[name](**kwargs)

@@ -205,6 +205,7 @@ def fasta(
     verbose: bool = False,
     check_adjoint_first: bool = False,
     rng: Optional[np.random.Generator] = None,
+    est_points: Optional[tuple] = None,
 ) -> FastaResult:
     """Forward-backward splitting solver for min f(Ax) + g(x).
 
@@ -231,12 +232,20 @@ def fasta(
     L_est = None
     if tau0 is None:
         if L is None:
-            def randn_like(v):
-                r = rng.standard_normal(v.shape)
-                if np.iscomplexobj(v):
-                    r = r + 1j * rng.standard_normal(v.shape)
-                return r.astype(v.dtype)
-            z1, z2 = randn_like(x0), randn_like(x0)
+            if est_points is not None:
+                # RNG-parity mode (SURVEY.md §7 hard part 5): the two
+                # estimation points are generated once in NumPy and fed
+                # to BOTH this oracle and the TPU solver, so auto-τ₀
+                # runs are trajectory-comparable.
+                z1, z2 = (np.asarray(est_points[0], dtype=x0.dtype),
+                          np.asarray(est_points[1], dtype=x0.dtype))
+            else:
+                def randn_like(v):
+                    r = rng.standard_normal(v.shape)
+                    if np.iscomplexobj(v):
+                        r = r + 1j * rng.standard_normal(v.shape)
+                    return r.astype(v.dtype)
+                z1, z2 = randn_like(x0), randn_like(x0)
             g1 = Atfun(gradf(Afun(z1)))
             g2 = Atfun(gradf(Afun(z2)))
             L = _norm(g1 - g2) / max(_norm(z2 - z1), 1e-30)

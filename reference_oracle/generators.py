@@ -28,6 +28,7 @@ __all__ = [
     "make_lasso", "make_nnls", "make_logistic", "make_tv",
     "make_phase_retrieval", "make_phase_retrieval_cdp", "make_democratic",
     "make_mmv", "make_matrix_completion", "make_max_norm", "make_svm",
+    "make_sparse_lasso", "make_nmf",
     "tv_grad_2d", "tv_div_2d",
 ]
 
@@ -75,7 +76,10 @@ def svt(Z: np.ndarray, t: float) -> np.ndarray:
 
 
 def prox_linf(z: np.ndarray, t: float) -> np.ndarray:
-    """Prox of t·‖·‖∞ via Moreau: z − t·P_{‖·‖₁≤1}(z/t)."""
+    """Prox of t·‖·‖∞ via Moreau: z − t·P_{‖·‖₁≤1}(z/t).
+    Degenerate t ≤ 0 returns z (identity prox of the zero function)."""
+    if t <= 0:
+        return z
     return z - t * project_l1_ball(z / t, 1.0)
 
 
@@ -476,5 +480,76 @@ def make_max_norm(d1: int = 300, d2: int = 60, radius: float = 1.0,
         gradf=lambda D: D - B,
         g=lambda X: 0.0,
         proxg=lambda Z, t: project_max_row_norm(Z, radius),
+        op=None, op_t=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# E10 — Sparse-operator LASSO:  min ½‖Ax−b‖² + μ‖x‖₁ with a SPARSE A
+#       (the reference accepts scipy.sparse operators via its linalg
+#       wrapper — capability C2; the TPU side maps this to a BCOO
+#       SparseOp).
+# --------------------------------------------------------------------------
+
+def make_sparse_lasso(m: int = 1500, n: int = 3000, density: float = 0.02,
+                      k: int = 80, mu: float = 0.1, sigma: float = 0.01,
+                      seed: int = 12) -> dict:
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    A = sp.random(m, n, density=density, format="csr",
+                  random_state=rng, data_rvs=rng.standard_normal)
+    # scale so columns have ≈unit expected norm (matches the dense
+    # Gaussian A/√m convention at this density)
+    A = A / np.sqrt(max(density * m, 1.0))
+    x_true = np.zeros(n)
+    support = rng.choice(n, size=k, replace=False)
+    x_true[support] = rng.standard_normal(k)
+    b = A @ x_true + sigma * rng.standard_normal(m)
+    x0 = np.zeros(n)
+    return dict(
+        name="sparse_lasso", A_sparse=A, A=None, b=b, x_true=x_true,
+        x0=x0, mu=mu, density=density, seed=seed,
+        f=lambda d: 0.5 * np.linalg.norm(d - b) ** 2,
+        gradf=lambda d: d - b,
+        g=lambda x: mu * np.abs(x).sum(),
+        proxg=lambda z, t: shrink(z, t * mu),
+        op=lambda x: A @ x, op_t=lambda y: A.T @ y,
+    )
+
+
+# --------------------------------------------------------------------------
+# E11 — Non-negative matrix factorization (the [P1] paper's remaining FBS
+#       application):  min ½‖Y − W Hᵀ‖²_F  s.t. W ≥ 0, H ≥ 0,
+#       solved jointly over the stacked variable X = [W; H] with the
+#       identity operator — f is smooth (nonconvex), g the nonnegative
+#       indicator.  FBS iterates are well-defined; parity is trajectory
+#       parity, not global optimality.
+# --------------------------------------------------------------------------
+
+def make_nmf(d1: int = 80, d2: int = 60, r: int = 5, sigma: float = 0.01,
+             seed: int = 13) -> dict:
+    rng = np.random.default_rng(seed)
+    W_true = np.abs(rng.standard_normal((d1, r)))
+    H_true = np.abs(rng.standard_normal((d2, r)))
+    Y_clean = W_true @ H_true.T
+    Y = Y_clean + sigma * rng.standard_normal((d1, d2))
+    X0 = np.abs(rng.standard_normal((d1 + d2, r))) * 0.5
+
+    def f(X):
+        R = X[:d1] @ X[d1:].T - Y
+        return 0.5 * float(np.sum(R * R))
+
+    def gradf(X):
+        W, H = X[:d1], X[d1:]
+        R = W @ H.T - Y
+        return np.concatenate([R @ H, R.T @ W], axis=0)
+
+    return dict(
+        name="nmf", A=None, b=Y, x_true=Y_clean, x0=X0, mu=0.0,
+        d1=d1, d2=d2, rank=r, seed=seed,
+        f=f, gradf=gradf,
+        g=lambda X: 0.0,
+        proxg=lambda Z, t: project_nonneg(Z),
         op=None, op_t=None,
     )

@@ -36,6 +36,10 @@ CASES = {
                           dict(tol=1e-7, max_iters=80)),
     "max_norm": (dict(d1=40, d2=8), 0.5, dict(tol=1e-9, max_iters=80)),
     "svm": (dict(m=120, n=30), 0.3, dict(tol=1e-8, max_iters=150)),
+    "sparse_lasso": (dict(m=200, n=400, density=0.05, k=15), 0.05,
+                     dict(tol=1e-9, max_iters=200)),
+    "nmf": (dict(d1=30, d2=20, rank=3), 0.05,
+            dict(tol=1e-8, max_iters=150)),
 }
 
 MODES = {

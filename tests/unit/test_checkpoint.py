@@ -39,3 +39,22 @@ def test_complex_pytree_roundtrip(tmp_path):
     ckpt.save_pytree({"x": r.solution}, path)
     loaded = ckpt.load_pytree({"x": r.solution}, path)
     np.testing.assert_allclose(loaded["x"], r.solution)
+
+
+def test_load_rejects_mismatched_structure(tmp_path):
+    """A checkpoint keyed by tree paths must refuse to load into a
+    different structure with the same leaf count (ADVICE r1: the old
+    index-keyed loader silently mis-assigned arrays)."""
+    import pytest
+    from fasta_tpu.checkpoint import load_pytree, save_pytree
+
+    src = {"a": np.arange(3.0), "b": np.ones((2, 2))}
+    p = str(tmp_path / "ck.npz")
+    save_pytree(src, p)
+    # same number of leaves, different paths -> must raise
+    with pytest.raises(ValueError, match="does not match"):
+        load_pytree({"a": np.arange(3.0), "c": np.ones((2, 2))}, p)
+    # matching structure loads, path-keyed
+    out = load_pytree({"a": np.zeros(3), "b": np.zeros((2, 2))}, p)
+    np.testing.assert_array_equal(out["a"], src["a"])
+    np.testing.assert_array_equal(out["b"], src["b"])

@@ -21,7 +21,9 @@ def test_microsolver_matches_xla_solver(engine):
         A, b, x0, 0.05, inst["mu"], max_iters=100, tol=1e-6,
         interpret=True, engine=engine)
     prob.tau0 = 0.05
-    r = prob.solve(tol=1e-6, max_iters=100, fuse=False)
+    # the microsolver implements STANDARD-precision f32 scalars
+    r = prob.solve(tol=1e-6, max_iters=100, fuse=False,
+                   precision="standard")
 
     assert int(k) == r.iteration_count
     assert bool(conv) == r.converged
@@ -42,7 +44,8 @@ def test_microsolver_nnls_prox():
         0.08, 0.0, max_iters=200, tol=1e-6, interpret=True,
         prox="nonneg")
     prob.tau0 = 0.08
-    r = prob.solve(tol=1e-6, max_iters=200, fuse=False)
+    r = prob.solve(tol=1e-6, max_iters=200, fuse=False,
+                   precision="standard")
     assert int(k) == r.iteration_count
     np.testing.assert_allclose(np.asarray(x), r.solution, atol=1e-5)
     assert float(jnp.min(x)) >= 0.0

@@ -24,7 +24,7 @@ def test_tv_microsolver_prefix_matches_xla():
                                           interpret=True)
     prob.tau0 = 2.0
     r = prob.solve(tol=1e-12, max_iters=K, fuse=False,
-                   stop_rule="iterations")
+                   stop_rule="iterations", precision="standard")
     np.testing.assert_allclose(np.asarray(taus[:K]), r.taus[:K],
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(res[:K]), r.residuals[:K],

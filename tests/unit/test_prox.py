@@ -114,3 +114,22 @@ def test_prox_is_firmly_nonexpansive_shrink():
     pa = np.asarray(prox.shrink(jnp.asarray(a), 0.5))
     pb = np.asarray(prox.shrink(jnp.asarray(b), 0.5))
     assert np.linalg.norm(pa - pb) <= np.linalg.norm(a - b) + 1e-12
+
+
+def test_prox_linf_degenerate_threshold():
+    """t = 0 (reachable via a mu=0 sweep leaf) must be the identity
+    prox, not NaN from the internal z/t (ADVICE r1)."""
+    import jax.numpy as jnp
+    from fasta_tpu import prox as jprox
+    from reference_oracle import generators as oracle
+
+    z = np.array([3.0, -1.5, 0.2, 0.0])
+    out = np.asarray(jprox.prox_linf(jnp.asarray(z), 0.0))
+    np.testing.assert_array_equal(out, z)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_array_equal(oracle.prox_linf(z, 0.0), z)
+    # and a vmap sweep including 0 stays finite
+    import jax
+    ts = jnp.asarray([0.0, 0.5, 2.0])
+    outs = jax.vmap(lambda t: jprox.prox_linf(jnp.asarray(z), t))(ts)
+    assert bool(jnp.all(jnp.isfinite(outs)))
