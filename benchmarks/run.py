@@ -37,8 +37,9 @@ CONFIGS = [
 ]
 
 
-def bench_oracle(inst, tau0, tol, max_iters=20000):
+def bench_oracle(prob, tau0, tol, max_iters=20000):
     from reference_oracle.fasta_numpy import fasta as fasta_np
+    inst = prob.instance
     t0 = time.perf_counter()
     r = fasta_np(inst["op"], inst.get("op_t"), inst["f"], inst["gradf"],
                  inst["g"], inst["proxg"], inst["x0"], tau0=tau0, tol=tol,
@@ -46,7 +47,8 @@ def bench_oracle(inst, tau0, tol, max_iters=20000):
     dt = time.perf_counter() - t0
     return dict(iters=r.iteration_count, seconds=dt,
                 ips=r.iteration_count / dt, converged=bool(r.converged),
-                objective=float(r.objectives[-1]))
+                objective=float(r.objectives[-1]),
+                rel_err=prob.recovery_error(np.asarray(r.solution)))
 
 
 def bench_tpu(prob, tau0, tol, fixed_iters, repeats=3):
@@ -92,7 +94,7 @@ def main():
         if quick:
             fixed = min(fixed, 100)
         prob = problems.build(name, **kwargs)
-        oracle = bench_oracle(prob.instance, tau0, tol,
+        oracle = bench_oracle(prob, tau0, tol,
                               max_iters=2000 if quick else 20000)
         tpu = bench_tpu(prob, tau0, tol, fixed)
         rows.append((prob.name, oracle, tpu))
@@ -108,10 +110,17 @@ def main():
         "",
         f"Device: {device}; oracle: float64 NumPy on 1-core host CPU.",
         "",
+        "Solver quality = `obj match` (relative objective gap vs the "
+        "converged float64 oracle).  `recovery err` is distance to the "
+        "PLANTED signal — a property of the problem instance and its "
+        "regularization (e.g. logistic's μ admits large weights), not "
+        "of the solver; the oracle column shows the same metric for "
+        "the float64 reference so the two can be compared directly.",
+        "",
         "| problem | oracle it/s | oracle iters | oracle wall | "
         "TPU it/s | TPU conv iters | TPU wall | speedup (it/s) | "
-        "obj match | rel err |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "obj match | recovery err TPU | recovery err oracle |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for pname, o, t in rows:
         objmatch = abs(t["objective"] - o["objective"]) / max(
@@ -121,7 +130,7 @@ def main():
             f"{o['seconds']:.3f}s | {t['ips']:.0f} | {t['conv_iters']} | "
             f"{t['conv_seconds']*1e3:.1f}ms | "
             f"{t['ips']/o['ips']:.0f}x | {objmatch:.2e} | "
-            f"{t['rel_err']:.2e} |")
+            f"{t['rel_err']:.2e} | {o['rel_err']:.2e} |")
     with open("BENCH_RESULTS.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps({

@@ -45,10 +45,12 @@ from .operators import DenseOp, LinearOp
 from .problem import Problem
 
 __all__ = [
-    "make_mesh", "shard_problem", "RowShardedDenseOp",
-    "RowShardedPlanarDenseOp", "replicate", "shard_rows",
-    "sharded_lstsq_gradmap", "sharded_phase_hinge_gradmap",
-    "sharded_planar_phase_hinge_gradmap", "sharded_pointwise_gradmap",
+    "make_mesh", "make_mesh_2d", "shard_problem", "shard_problem_2d",
+    "RowShardedDenseOp", "RowShardedPlanarDenseOp", "ShardedCDPOp",
+    "RowShardedSparseOp", "GridShardedDenseOp", "replicate", "shard_rows",
+    "shard_cols", "sharded_lstsq_gradmap", "sharded_lstsq_gradmap_2d",
+    "sharded_phase_hinge_gradmap", "sharded_planar_phase_hinge_gradmap",
+    "sharded_pointwise_gradmap", "sharded_cdp_phase_hinge_gradmap",
 ]
 
 
@@ -64,6 +66,22 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(rows: int, cols: int,
+                 row_axis: str = "rows", col_axis: str = "cols",
+                 devices=None) -> Mesh:
+    """2-D device mesh: measurement rows × signal columns (SURVEY.md
+    §2.3 TP row — the layout for very wide problems where replicating x
+    and A's column dimension on every device wastes memory)."""
+    if devices is None:
+        devices = jax.devices()
+    if rows * cols > len(devices):
+        raise ValueError(
+            f"mesh {rows}x{cols} needs {rows*cols} devices, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[:rows * cols]).reshape(rows, cols)
+    return Mesh(grid, (row_axis, col_axis))
+
+
 def replicate(x, mesh: Mesh):
     """Place an array fully replicated on the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P()))
@@ -73,6 +91,14 @@ def shard_rows(x, mesh: Mesh, axis_name: str = "rows"):
     """Shard an array's leading axis across the mesh axis."""
     x = jnp.asarray(x)
     spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_cols(x, mesh: Mesh, axis_name: str = "cols"):
+    """Shard an array's LAST axis across the mesh axis (signal-space
+    placement on a 2-D mesh: x, prox anchors, A's column dim)."""
+    x = jnp.asarray(x)
+    spec = P(*([None] * (x.ndim - 1)), axis_name)
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
@@ -298,6 +324,318 @@ def sharded_phase_hinge_gradmap(op: "RowShardedDenseOp", b):
     return lambda x: fn(op.A, b, x)
 
 
+@jax.tree_util.register_pytree_node_class
+class ShardedCDPOp(LinearOp):
+    """Coded-diffraction stack, sharded over the MASK axis:
+    d_k = FFT(m_k ⊙ x), masks (K, n) with K split across the mesh.
+
+    Forward: each device modulates the replicated x by its local masks
+    and runs a BATCHED unitary FFT — zero communication (d inherits the
+    mask-axis sharding).  Adjoint: local Σ_k conj(m_k) ⊙ IFFT(y_k)
+    followed by one psum — the identical collective pattern as the dense
+    row-sharded matvec, with FFTs instead of GEMVs.  Replaces the
+    per-mask StackedOp(Compose(FFT, Diag)) composition of
+    problems/phase_retrieval_cdp.py under ``shard_problem``.
+    """
+
+    def __init__(self, mods, wins, mesh: Mesh, axis_name: str = "rows"):
+        self.mods = mods                   # (K, n) modulation masks m_k
+        self.wins = wins                   # (K, n) FFT windows w_k
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def __call__(self, x):
+        ax = self.axis_name
+
+        def fwd(m_blk, w_blk, x_rep):
+            return w_blk * jnp.fft.fft(m_blk * x_rep[None, :],
+                                       norm="ortho")
+
+        return shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None), P()),
+            out_specs=P(ax, None),
+        )(self.mods, self.wins, x)
+
+    def rmatvec(self, y):
+        ax = self.axis_name
+
+        def adj(m_blk, w_blk, y_blk):
+            xs = jnp.conj(m_blk) * jnp.fft.ifft(
+                jnp.conj(w_blk) * y_blk, norm="ortho")
+            return jax.lax.psum(jnp.sum(xs, axis=0), ax)
+
+        return shard_map(
+            adj, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None), P(ax, None)),
+            out_specs=P(),
+        )(self.mods, self.wins, y)
+
+    @property
+    def shape(self):
+        K, n = self.mods.shape
+        return (K * n, n)
+
+    def tree_flatten(self):
+        return (self.mods, self.wins), (self.mesh, self.axis_name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def sharded_cdp_phase_hinge_gradmap(op: "ShardedCDPOp", b):
+    """Fused sharded PhaseMax-hinge gradmap for the coded-diffraction
+    operator: one shard_map region per evaluation — batched local FFT,
+    local hinge, batched local IFFT-adjoint, single fused psum of
+    (f, Aᴴ∇f).  ``b`` is (K, n) magnitudes sharded like the masks."""
+    ax = op.axis_name
+
+    def local(m_blk, w_blk, b_blk, x_rep):
+        d_blk = w_blk * jnp.fft.fft(m_blk * x_rep[None, :], norm="ortho")
+        mag = jnp.abs(d_blk)
+        r = jnp.maximum(mag - b_blk, 0.0)
+        f_part = 0.5 * jnp.sum(r * r)
+        gl = (r / jnp.maximum(mag, 1e-30)) * d_blk
+        g_part = jnp.sum(jnp.conj(m_blk) * jnp.fft.ifft(
+            jnp.conj(w_blk) * gl, norm="ortho"), axis=0)
+        f, g = jax.lax.psum((f_part, g_part), ax)
+        return d_blk, f, g
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(ax, None), P(ax, None), P(ax, None), P()),
+                   out_specs=(P(ax, None), P(), P()))
+    return lambda x: fn(op.mods, op.wins, b, x)
+
+
+@jax.tree_util.register_pytree_node_class
+class RowShardedSparseOp(LinearOp):
+    """Sparse operator row-sharded as per-device BCOO blocks.
+
+    The scipy matrix is split into equal row blocks at placement time;
+    each block's (data, indices) are nnz-padded to the max block nnz
+    (padding entries carry zero data at row 0 — exact no-ops) and
+    stacked on a leading device axis, so shard_map sees plain dense
+    carrier arrays.  Forward: local BCOO matvec (zero communication);
+    adjoint: local Aᵢᵀ yᵢ + one psum — the same collective pattern as
+    the dense row-sharded operator.
+    """
+
+    def __init__(self, data, indices, block_rows: int, n: int,
+                 mesh: Mesh, axis_name: str = "rows"):
+        self.data = data               # (D, nnz_pad)
+        self.indices = indices         # (D, nnz_pad, 2) int32
+        self.block_rows = block_rows
+        self.n = n
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    @classmethod
+    def from_bcoo(cls, M, mesh: Mesh, axis_name: str = "rows"):
+        """Split an existing BCOO (operators.SparseOp payload) into the
+        per-device block representation (host-side placement op)."""
+        import numpy as onp
+        import scipy.sparse as sp
+        data = onp.asarray(M.data)
+        idx = onp.asarray(M.indices)
+        coo = sp.coo_matrix((data, (idx[:, 0], idx[:, 1])), shape=M.shape)
+        return cls.from_scipy(coo, mesh, axis_name)
+
+    @classmethod
+    def from_scipy(cls, sp_matrix, mesh: Mesh, axis_name: str = "rows",
+                   dtype=None):
+        import numpy as onp
+        sp_matrix = sp_matrix.tocsr()
+        if dtype is not None:
+            sp_matrix = sp_matrix.astype(onp.dtype(dtype))
+        m, n = sp_matrix.shape
+        D = mesh.devices.size
+        if m % D != 0:
+            raise ValueError(f"row count {m} not divisible by mesh {D}")
+        br = m // D
+        blocks = [sp_matrix[i * br:(i + 1) * br].tocoo() for i in range(D)]
+        nnz_pad = max(max(blk.nnz for blk in blocks), 1)
+        data = onp.zeros((D, nnz_pad), sp_matrix.dtype)
+        indices = onp.zeros((D, nnz_pad, 2), onp.int32)
+        for i, blk in enumerate(blocks):
+            data[i, :blk.nnz] = blk.data
+            indices[i, :blk.nnz, 0] = blk.row
+            indices[i, :blk.nnz, 1] = blk.col
+        return cls(shard_rows(data, mesh, axis_name),
+                   shard_rows(indices, mesh, axis_name), br, n,
+                   mesh, axis_name)
+
+    def _local_bcoo(self, data_blk, indices_blk):
+        from jax.experimental import sparse as jsparse
+        return jsparse.BCOO((data_blk[0], indices_blk[0]),
+                            shape=(self.block_rows, self.n))
+
+    def __call__(self, x):
+        ax = self.axis_name
+
+        def fwd(data_blk, indices_blk, x_rep):
+            return self._local_bcoo(data_blk, indices_blk) @ x_rep
+
+        return shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None, None), P()),
+            out_specs=P(ax),
+        )(self.data, self.indices, x)
+
+    def rmatvec(self, y):
+        ax = self.axis_name
+
+        def adj(data_blk, indices_blk, y_blk):
+            A_blk = self._local_bcoo(data_blk, indices_blk)
+            return jax.lax.psum(A_blk.T @ y_blk, ax)
+
+        return shard_map(
+            adj, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None, None), P(ax)),
+            out_specs=P(),
+        )(self.data, self.indices, y)
+
+    @property
+    def shape(self):
+        return (self.data.shape[0] * self.block_rows, self.n)
+
+    def tree_flatten(self):
+        return (self.data, self.indices), (self.block_rows, self.n,
+                                           self.mesh, self.axis_name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class GridShardedDenseOp(LinearOp):
+    """Dense operator on a 2-D (rows × cols) mesh — SURVEY.md §2.3's
+    wide-problem layout: A is grid-sharded, x/signal-space vectors are
+    COLUMN-sharded, b/measurement-space vectors row-sharded.
+
+    Forward: local (m/R × n/C) GEMV + psum over the col axis → d row-
+    sharded, replicated over cols.  Adjoint: local Aᴴ GEMV + psum over
+    the row axis → g col-sharded.  One all-reduce per leg, each riding
+    a single mesh axis (ICI ring).
+    """
+
+    def __init__(self, A, mesh: Mesh, row_axis: str = "rows",
+                 col_axis: str = "cols",
+                 precision=jax.lax.Precision.HIGHEST):
+        self.A = A
+        self.mesh = mesh
+        self.row_axis = row_axis
+        self.col_axis = col_axis
+        self.precision = precision
+
+    def __call__(self, x):
+        rx, cx, prec_ = self.row_axis, self.col_axis, self.precision
+
+        def fwd(A_blk, x_blk):
+            return jax.lax.psum(
+                jnp.matmul(A_blk, x_blk, precision=prec_), cx)
+
+        return shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(rx, cx), P(cx)),
+            out_specs=P(rx),
+        )(self.A, x)
+
+    def rmatvec(self, y):
+        rx, cx, prec_ = self.row_axis, self.col_axis, self.precision
+
+        def adj(A_blk, y_blk):
+            return jax.lax.psum(
+                jnp.matmul(A_blk.conj().T, y_blk, precision=prec_), rx)
+
+        return shard_map(
+            adj, mesh=self.mesh,
+            in_specs=(P(rx, cx), P(rx)),
+            out_specs=P(cx),
+        )(self.A, y)
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    def tree_flatten(self):
+        return (self.A,), (self.mesh, self.row_axis, self.col_axis,
+                           self.precision)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def sharded_lstsq_gradmap_2d(op: "GridShardedDenseOp", b):
+    """Fused least-squares gradmap on the 2-D mesh: one shard_map region
+    computing (d, f, g) with exactly TWO all-reduces — a psum over the
+    col axis for d = Ax and one fused psum over the row axis for
+    (f, Aᴴr).  f partials are computed from the col-replicated d block,
+    so they are summed over rows only (a both-axes psum would count
+    every column replica)."""
+    rx, cx, prec_ = op.row_axis, op.col_axis, op.precision
+
+    def local(A_blk, b_blk, x_blk):
+        d_blk = jax.lax.psum(
+            jnp.matmul(A_blk, x_blk, precision=prec_), cx)
+        r = d_blk - b_blk
+        f_part = 0.5 * jnp.real(jnp.vdot(r, r))
+        g_part = jnp.matmul(A_blk.conj().T, r, precision=prec_)
+        # g: sum over row axis (col-sharded result); f: rows only —
+        # fused into one collective over the row axis.
+        f, g = jax.lax.psum((f_part, g_part), rx)
+        return d_blk, f, g
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(rx, cx), P(rx), P(cx)),
+                   out_specs=(P(rx), P(), P(cx)))
+    return lambda x: fn(op.A, b, x)
+
+
+def shard_problem_2d(problem: Problem, mesh: Mesh,
+                     row_axis: str = "rows",
+                     col_axis: str = "cols") -> Problem:
+    """Place a dense problem on a 2-D (rows × cols) mesh — the
+    wide-problem layout (SURVEY.md:126): A grid-sharded, measurement-
+    space leaves row-sharded, SIGNAL-space leaves (x0, prox anchors)
+    column-sharded, so neither x nor A's column dimension is replicated.
+    The matvec pair runs through :class:`GridShardedDenseOp` (one psum
+    per mesh axis per leg); the solver's elementwise prox runs sharded
+    on the col axis and scalar reductions psum over it."""
+    if not isinstance(problem.op, DenseOp):
+        raise TypeError("shard_problem_2d supports DenseOp problems "
+                        f"(got {type(problem.op).__name__})")
+    A = jnp.asarray(problem.op.A)
+    m, n = A.shape
+    R = mesh.shape[row_axis]
+    C = mesh.shape[col_axis]
+    if m % R != 0 or n % C != 0:
+        raise ValueError(
+            f"problem {m}x{n} not divisible by mesh {R}x{C}")
+    A = jax.device_put(A, NamedSharding(mesh, P(row_axis, col_axis)))
+
+    def place(x, space: str):
+        if not isinstance(x, (jax.Array, np.ndarray)):
+            return x
+        x = jnp.asarray(x)
+        if space == "m" and x.ndim >= 1 and x.shape[0] == m:
+            return jax.device_put(x, NamedSharding(
+                mesh, P(row_axis, *([None] * (x.ndim - 1)))))
+        if space == "n" and x.ndim >= 1 and x.shape[-1] == n:
+            return shard_cols(x, mesh, col_axis)
+        return replicate(x, mesh)
+
+    fterm = jax.tree_util.tree_map(lambda l: place(l, "m"), problem.fterm)
+    gterm = jax.tree_util.tree_map(lambda l: place(l, "n"), problem.gterm)
+    x0 = place(problem.x0, "n")
+    op = GridShardedDenseOp(A, mesh, row_axis, col_axis,
+                            precision=problem.op.precision)
+    return problem.with_parts(op=op, fterm=fterm, gterm=gterm, x0=x0,
+                              name=problem.name + f"@{R}x{C}dev")
+
+
 def _measurement_dim(problem: Problem) -> Optional[int]:
     """Leading dimension of the measurement space d = A x."""
     try:
@@ -348,13 +686,32 @@ def shard_problem(problem: Problem, mesh: Mesh,
     gterm = jax.tree_util.tree_map(lambda l: place(l, False), problem.gterm)
     x0 = place(problem.x0, False)
 
-    from .operators import PlanarDenseOp
+    from .operators import (ComposeOp, DiagonalOp, MaskedFourierOp,
+                            PlanarDenseOp, SparseOp, StackedOp)
     if explicit and isinstance(op, DenseOp):
         op = RowShardedDenseOp(op.A, mesh, axis_name,
                                precision=op.precision)
     elif explicit and isinstance(op, PlanarDenseOp):
         op = RowShardedPlanarDenseOp(op.Ar, op.Ai, mesh, axis_name,
                                      precision=op.precision)
+    elif explicit and isinstance(op, SparseOp):
+        op = RowShardedSparseOp.from_bcoo(op.M, mesh, axis_name)
+    elif (explicit and isinstance(op, StackedOp)
+          and all(isinstance(member, ComposeOp)
+                  and isinstance(member.outer, MaskedFourierOp)
+                  and isinstance(member.inner, DiagonalOp)
+                  for member in op.ops)):
+        # coded-diffraction stack: shard over the mask axis (the K
+        # member ops collapse into batched (K, n) mask arrays)
+        mods = jnp.stack([member.inner.d for member in op.ops])
+        wins = jnp.stack([member.outer.mask for member in op.ops])
+        if mods.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"CDP mask count {mods.shape[0]} not divisible by "
+                f"mesh size {n_dev}")
+        op = ShardedCDPOp(shard_rows(mods, mesh, axis_name),
+                          shard_rows(wins, mesh, axis_name),
+                          mesh, axis_name)
 
     return problem.with_parts(op=op, fterm=fterm, gterm=gterm, x0=x0,
                               name=problem.name + f"@{n_dev}dev")

@@ -107,9 +107,13 @@ class LeastSquares(SmoothTerm):
         VMEM-resident Pallas kernel for the TV stencil operator; exact
         XLA fallback elsewhere."""
         from .operators import DenseOp, ScaledOp, TVDiv2D
-        from .sharding import RowShardedDenseOp, sharded_lstsq_gradmap
+        from .sharding import (GridShardedDenseOp, RowShardedDenseOp,
+                               sharded_lstsq_gradmap,
+                               sharded_lstsq_gradmap_2d)
         if isinstance(op, RowShardedDenseOp):
             return sharded_lstsq_gradmap(op, self.b)
+        if isinstance(op, GridShardedDenseOp):
+            return sharded_lstsq_gradmap_2d(op, self.b)
         if (isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D)
                 and jnp.asarray(self.b).ndim == 2):
             from .kernels.lstsq_fused import pallas_enabled
@@ -236,10 +240,13 @@ class PhaseHinge(SmoothTerm):
         return (r / jnp.maximum(mag, 1e-30)) * d
 
     def fused_gradmap(self, op):
-        from .sharding import (RowShardedDenseOp,
+        from .sharding import (RowShardedDenseOp, ShardedCDPOp,
+                               sharded_cdp_phase_hinge_gradmap,
                                sharded_phase_hinge_gradmap)
         if isinstance(op, RowShardedDenseOp):
             return sharded_phase_hinge_gradmap(op, self.b)
+        if isinstance(op, ShardedCDPOp):
+            return sharded_cdp_phase_hinge_gradmap(op, self.b)
         return None
 
     def tree_flatten(self):

@@ -17,25 +17,76 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 
 
-def _compiled_text(prob, **solve_kw):
-    mesh = sh.make_mesh()
-    sp = sh.shard_problem(prob, mesh)
+def _compiled_text(prob, two_d=False, **solve_kw):
+    if two_d:
+        mesh = sh.make_mesh_2d(2, 4)
+        sp = sh.shard_problem_2d(prob, mesh)
+    else:
+        mesh = sh.make_mesh()
+        sp = sh.shard_problem(prob, mesh)
     fn = make_solver(FastaOptions(**solve_kw))
     low = fn.lower(sp.op, sp.fterm, sp.gterm, jnp.asarray(sp.x0), 0.05)
     return low.compile().as_text()
 
 
+def _collectives(txt):
+    return (len(re.findall(r" all-reduce\(", txt)),
+            len(re.findall(r" all-gather\(", txt)))
+
+
 def test_lasso_collective_budget():
     prob = problems.build("lasso", m=240, n=96, k=10, dtype=jnp.float64)
     txt = _compiled_text(prob, max_iters=50)
-    n_ar = len(re.findall(r" all-reduce\(", txt))
-    # one fused psum of (f, g) per gradmap region: init + loop body +
-    # backtracking trial body = 3; anything beyond ~5 means scalar math
-    # started communicating per-op (regression)
-    assert 1 <= n_ar <= 5, f"unexpected all-reduce count {n_ar}"
+    n_ar, n_ag = _collectives(txt)
+    # EXACTLY one fused psum of (f, g) per gradmap region: init + loop
+    # body + backtracking trial body = 3 (measured; CLAUDE.md pin).
+    # Any growth means scalar math started communicating per-op.
+    assert n_ar == 3, f"unexpected all-reduce count {n_ar}"
     # the sharded matrix must never be gathered
-    assert len(re.findall(r" all-gather\(", txt)) == 0
+    assert n_ag == 0
     assert "f64[240,96]" not in txt, "matrix not partitioned"
+
+
+def test_lasso_accelerated_budget():
+    prob = problems.build("lasso", m=240, n=96, k=10, dtype=jnp.float64)
+    txt = _compiled_text(prob, max_iters=50, adaptive=False,
+                         accelerate=True)
+    n_ar, n_ag = _collectives(txt)
+    # measured: 3 gradmap psums + 1 (restart-path reduction)
+    assert n_ar == 4, f"unexpected all-reduce count {n_ar}"
+    assert n_ag == 0
+
+
+def test_sparse_collective_budget():
+    prob = problems.build("sparse_lasso", m=320, n=160, density=0.05,
+                          k=10, dtype=jnp.float64)
+    txt = _compiled_text(prob, max_iters=50)
+    n_ar, n_ag = _collectives(txt)
+    # sparse has no fused gradmap: rmatvec psums + scalar psums = 4
+    # (measured)
+    assert n_ar == 4, f"unexpected all-reduce count {n_ar}"
+    assert n_ag == 0
+
+
+def test_cdp_collective_budget():
+    prob = problems.build("phase_retrieval_cdp", n=64, K=8,
+                          dtype=jnp.complex128)
+    txt = _compiled_text(prob, max_iters=50, accelerate=True,
+                         adaptive=False)
+    n_ar, n_ag = _collectives(txt)
+    assert n_ar == 6, f"unexpected all-reduce count {n_ar}"   # measured
+    assert n_ag == 0
+
+
+def test_2d_mesh_collective_budget():
+    prob = problems.build("lasso", m=240, n=96, k=10, dtype=jnp.float64)
+    txt = _compiled_text(prob, two_d=True, max_iters=50)
+    n_ar, n_ag = _collectives(txt)
+    # 2 per fused gradmap region (col-axis psum for d, row-axis fused
+    # psum for (f,g)) x 3 regions + 2 col-axis scalar psums = 8
+    # (measured)
+    assert n_ar == 8, f"unexpected all-reduce count {n_ar}"
+    assert n_ag == 0
 
 
 def test_phase_retrieval_collective_budget():
@@ -43,10 +94,11 @@ def test_phase_retrieval_collective_budget():
                           dtype=jnp.complex128)
     txt = _compiled_text(prob, max_iters=50, accelerate=True,
                          adaptive=False)
-    n_ar = len(re.findall(r" all-reduce\(", txt))
-    # accel adds one rmatvec psum (gradient at the extrapolated point)
-    assert 1 <= n_ar <= 7, f"unexpected all-reduce count {n_ar}"
-    assert len(re.findall(r" all-gather\(", txt)) == 0
+    n_ar, n_ag = _collectives(txt)
+    # accel adds rmatvec psums (gradient at the extrapolated point);
+    # measured: 6
+    assert n_ar == 6, f"unexpected all-reduce count {n_ar}"
+    assert n_ag == 0
 
 
 def test_partitioned_shapes_present():

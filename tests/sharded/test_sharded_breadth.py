@@ -1,0 +1,183 @@
+"""Sharded-path breadth (VERDICT r1 items 4-5): coded-diffraction
+(mask-axis FFT stack), sparse operators (per-device BCOO blocks) and the
+2-D rows×cols mesh for wide problems — each must reproduce the
+single-device scalar sequence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import fasta_tpu as ft
+from fasta_tpu import sharding as sh
+import problems
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _solve(prob, **kw):
+    kw.setdefault("tol", 1e-9)
+    kw.setdefault("max_iters", 120)
+    return prob.solve(**kw)
+
+
+# ---------------------------------------------------------------- CDP --
+
+def test_sharded_cdp_op_matches_stacked():
+    """ShardedCDPOp ≡ StackedOp(Compose(FFT, Diag)) on fwd and adjoint."""
+    prob = problems.build("phase_retrieval_cdp", n=64, K=8,
+                          dtype=jnp.complex128)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    assert isinstance(sprob.op, sh.ShardedCDPOp)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(64) + 1j * rng.standard_normal(64))
+    y = jnp.asarray(rng.standard_normal((8, 64))
+                    + 1j * rng.standard_normal((8, 64)))
+    np.testing.assert_allclose(np.asarray(sprob.op(x)),
+                               np.asarray(prob.op(x)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sprob.op.rmatvec(y)),
+                               np.asarray(prob.op.rmatvec(y)), atol=1e-12)
+    ft.check_adjoint(sprob.op, x, jax.random.PRNGKey(1), rtol=1e-10)
+
+
+def test_sharded_cdp_scalar_sequence_identity():
+    prob = problems.build("phase_retrieval_cdp", n=64, K=8,
+                          dtype=jnp.complex128)
+    prob.tau0 = 1.0
+    r_single = _solve(prob, accelerate=True, adaptive=False)
+
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    r_shard = _solve(sprob, accelerate=True, adaptive=False)
+
+    assert r_shard.iteration_count == r_single.iteration_count
+    k = r_single.iteration_count
+    np.testing.assert_allclose(r_shard.taus[:k], r_single.taus[:k],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_shard.residuals[:k],
+                               r_single.residuals[:k], rtol=1e-6,
+                               atol=1e-12)
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-8)
+
+
+def test_sharded_cdp_adaptive_mode():
+    # 60-iteration window: BB amplifies psum-reorder noise ~10×/10 iters
+    # on this nonconvex hinge (same cap rationale as the 2-D democratic
+    # case below).
+    prob = problems.build("phase_retrieval_cdp", n=64, K=8,
+                          dtype=jnp.complex128)
+    prob.tau0 = 1.0
+    r_single = _solve(prob, max_iters=60)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    r_shard = _solve(sprob, max_iters=60)
+    assert r_shard.iteration_count == r_single.iteration_count
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-6)
+
+
+# ------------------------------------------------------------- sparse --
+
+def test_sharded_sparse_op_matches_bcoo():
+    prob = problems.build("sparse_lasso", m=320, n=160, density=0.05,
+                          k=10, dtype=jnp.float64)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    assert isinstance(sprob.op, sh.RowShardedSparseOp)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(160))
+    y = jnp.asarray(rng.standard_normal(320))
+    A = prob.instance["A_sparse"].toarray()
+    np.testing.assert_allclose(np.asarray(sprob.op(x)), A @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sprob.op.rmatvec(y)), A.T @ y,
+                               atol=1e-12)
+
+
+def test_sharded_sparse_scalar_sequence_identity():
+    prob = problems.build("sparse_lasso", m=320, n=160, density=0.05,
+                          k=10, dtype=jnp.float64)
+    prob.tau0 = 0.05
+    r_single = _solve(prob)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    r_shard = _solve(sprob)
+    assert r_shard.iteration_count == r_single.iteration_count
+    k = r_single.iteration_count
+    np.testing.assert_allclose(r_shard.taus[:k], r_single.taus[:k],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-8)
+
+
+# ------------------------------------------------------------ 2-D mesh --
+
+def test_mesh2d_construction():
+    mesh = sh.make_mesh_2d(2, 4)
+    assert dict(mesh.shape) == {"rows": 2, "cols": 4}
+
+
+def test_grid_sharded_op_matches_dense():
+    mesh = sh.make_mesh_2d(2, 4)
+    rng = np.random.default_rng(3)
+    A_np = rng.standard_normal((64, 32))
+    A = jax.device_put(jnp.asarray(A_np),
+                       jax.sharding.NamedSharding(mesh, P("rows", "cols")))
+    op = sh.GridShardedDenseOp(A, mesh)
+    x = jnp.asarray(rng.standard_normal(32))
+    y = jnp.asarray(rng.standard_normal(64))
+    np.testing.assert_allclose(np.asarray(op(x)), A_np @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(y)), A_np.T @ y,
+                               atol=1e-12)
+    ft.check_adjoint(op, x, jax.random.PRNGKey(4), rtol=1e-10)
+
+
+@pytest.mark.parametrize("name,kwargs,tau0,iters", [
+    ("lasso", dict(m=160, n=64, k=8), 0.05, 120),
+    # democratic runs BB on an ill-conditioned frame: psum reordering
+    # noise (1e-16) amplifies ~10×/10 iters, so the identity window is
+    # capped where the drift is still ≤1e-8 (measured: 1e-9 at iter 60).
+    ("democratic", dict(m=64, n=256), 0.05, 60),
+])
+def test_2d_mesh_scalar_sequence_identity(name, kwargs, tau0, iters):
+    """Wide-problem layout: x column-sharded on a 2×4 mesh must replay
+    the single-device trajectory (democratic = the SURVEY.md:126 case:
+    n ≫ m, the L∞ prox's global sort runs over the col-sharded x)."""
+    prob = problems.build(name, dtype=jnp.float64, **kwargs)
+    prob.tau0 = tau0
+    r_single = _solve(prob, max_iters=iters)
+
+    mesh = sh.make_mesh_2d(2, 4)
+    sprob = sh.shard_problem_2d(prob, mesh)
+    assert isinstance(sprob.op, sh.GridShardedDenseOp)
+    r_shard = _solve(sprob, max_iters=iters)
+
+    assert r_shard.iteration_count == r_single.iteration_count
+    k = r_single.iteration_count
+    np.testing.assert_allclose(r_shard.taus[:k], r_single.taus[:k],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_shard.residuals[:k],
+                               r_single.residuals[:k], rtol=1e-6,
+                               atol=1e-12)
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-8)
+
+
+def test_2d_placement_specs():
+    prob = problems.build("democratic", m=64, n=256, dtype=jnp.float64)
+    mesh = sh.make_mesh_2d(2, 4)
+    sprob = sh.shard_problem_2d(prob, mesh)
+    assert sprob.op.A.sharding.spec == P("rows", "cols")
+    assert sprob.fterm.b.sharding.spec[0] == "rows"
+    assert jnp.asarray(sprob.x0).sharding.spec[-1] == "cols"
+
+
+def test_2d_mesh_indivisible_raises():
+    prob = problems.build("lasso", m=100, n=30, k=5, dtype=jnp.float64)
+    mesh = sh.make_mesh_2d(2, 4)   # n=30 not divisible by 4 cols
+    with pytest.raises(ValueError):
+        sh.shard_problem_2d(prob, mesh)
