@@ -1,6 +1,6 @@
 """Parity suite: per-iteration trajectory match (tau_k, residual_k, f_k)
-and final objective vs the float64 NumPy oracle on all nine problems
-(the five BASELINE configs at reduced size + the four optional ones) —
+and final objective vs the float64 NumPy oracle on all thirteen problems
+(the five BASELINE configs at reduced size + the optional ones) —
 SURVEY.md §4 / §7 hard part 4.
 
 Comparison discipline: float64 on both sides, identical instance data
