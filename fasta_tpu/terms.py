@@ -60,6 +60,17 @@ class SmoothTerm:
         from .precision import dd
         return dd(self.value(d))
 
+    def value_parts(self, d):
+        """Elementwise double-word contributions of f(d): ``(hi, lo)``
+        1-D arrays whose dd-sum equals :meth:`value_dd`, or None when
+        the term cannot decompose its value elementwise.  Lets the
+        solver fuse the f-reduction with the backtracking/BB dot
+        products into one variadic ``lax.reduce``
+        (precision.reduce_dd_many) — one kernel dispatch per iteration
+        instead of three on the latency-bound hot loop."""
+        del d
+        return None
+
     def grad(self, d):
         raise NotImplementedError
 
@@ -95,6 +106,12 @@ class LeastSquares(SmoothTerm):
     def value_dd(self, d):
         from . import precision as _p
         return _p.dd_scale(_p.norm2_dd(d - self.b), 0.5)
+
+    def value_parts(self, d):
+        from . import precision as _p
+        p, e = _p.dot_parts(d - self.b, d - self.b)
+        # exact: scaling a binary float by 0.5 never rounds
+        return 0.5 * p, 0.5 * e
 
     def grad(self, d):
         return d - self.b
@@ -162,6 +179,12 @@ class Logistic(SmoothTerm):
         ell = (jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
                - self.b * d)
         return _p.sum_dd(ell)
+
+    def value_parts(self, d):
+        ell = (jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
+               - self.b * d)
+        ell = jnp.ravel(ell)
+        return ell, jnp.zeros_like(ell)
 
     def grad(self, d):
         return 1.0 / (1.0 + jnp.exp(-d)) - self.b

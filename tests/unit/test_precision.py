@@ -155,3 +155,58 @@ def test_two_sum_exact():
     exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
     np.testing.assert_array_equal(
         np.asarray(s, np.float64) + np.asarray(e, np.float64), exact)
+
+
+def test_reduce_dd_many_matches_separate():
+    """The fused variadic multi-reduce must reproduce the separate
+    compensated reductions exactly (same combiner, zero-padding is a dd
+    identity) for streams of different lengths."""
+    rng = np.random.default_rng(8)
+    a = jnp.asarray(rng.standard_normal(2000).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(2000).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal(1000).astype(np.float32))
+    streams = [
+        (0.5 * p for p in prec.dot_parts(r, r)),      # f = ½‖r‖², len m
+        prec.dot_parts(a, b),                         # len n
+        prec.dot_parts(a, a),                         # len n
+    ]
+    streams = [tuple(s) for s in streams]
+    fused = prec.reduce_dd_many(streams)
+    seps = [prec._reduce_dd_sum(*s) for s in streams]
+    for got, want in zip(fused, seps):
+        assert float(got.hi) == float(want.hi)
+        assert float(got.lo) == float(want.lo)
+
+
+def test_dot_parts_sum_is_dot_dd():
+    """dd-summing dot_parts equals dot_dd, real and complex."""
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal(513).astype(np.float32)
+    b = rng.standard_normal(513).astype(np.float32)
+    got = prec._reduce_dd_sum(*prec.dot_parts(a, b))
+    want = prec.dot_dd(jnp.asarray(a), jnp.asarray(b))
+    assert float(got.hi) == float(want.hi)
+    zc = (rng.standard_normal(257) + 1j * rng.standard_normal(257)
+          ).astype(np.complex64)
+    wc = (rng.standard_normal(257) + 1j * rng.standard_normal(257)
+          ).astype(np.complex64)
+    ref = np.real(np.vdot(np.asarray(zc, np.complex128),
+                          np.asarray(wc, np.complex128)))
+    got = prec.dd_to_float(
+        prec._reduce_dd_sum(*prec.dot_parts(jnp.asarray(zc),
+                                            jnp.asarray(wc))))
+    assert _ulps(got, ref) <= 2.0
+
+
+def test_blocked2_accuracy():
+    """The hybrid lane-blocked impl keeps the Dot2 error bound on a
+    heavily cancelled dot (plain f32 fails this by ~1e5 ulps)."""
+    rng = np.random.default_rng(10)
+    a64 = rng.standard_normal(2000)
+    b64 = rng.standard_normal(2000)
+    a = a64.astype(np.float32)
+    b = (b64 - a64 * (a64 @ b64) / (a64 @ a64)).astype(np.float32)
+    ref = np.dot(a.astype(np.float64), b.astype(np.float64))
+    p, e = prec.two_prod(jnp.asarray(a), jnp.asarray(b))
+    got = prec.dd_to_float(prec._blocked2_dd_sum(p, e))
+    assert _ulps(got, ref) <= 4.0
