@@ -30,12 +30,24 @@ currently take the fallback path (planar-complex kernel is a follow-up).
 
 Measured status on TPU v5e (2026-08-17, in-solver-loop timing with host
 readback barriers): both variants are numerically validated on hardware
-(g within 2e-7 of f64 truth), but the kernel streams A at ~260 GB/s
-while XLA's two-pass GEMV runs at ~520 GB/s — so halving the traffic
-nets ≈1.0× end to end.  The single-row GEMV leaves the MXU 127/128 idle
-(mxu variant) and the cross-lane reductions cap the VPU variant; until a
-tiling that streams ≥ XLA's rate lands, the kernel stays opt-in
-(FASTA_TPU_PALLAS=1) and the default path is the faster XLA one.
+(g within 2e-7 of f64 truth).  The dispatch policy follows the two
+measured regimes:
+
+* **HBM-streaming (A beyond VMEM residency, e.g. 8192×16384 = 512 MB)**
+  — the one-read pass beats XLA's two-pass wall time **1.22×**
+  back-to-back (3.85 ms vs 4.69 ms/iter; scratch-accumulator variant),
+  and at worst ties it when the backend streams faster (round-1 state:
+  260 GB/s one-read vs 520 two-read — exactly the break-even).  Default
+  ON here (``supports_fusion`` auto mode).
+* **VMEM-resident (the 1000×2000 baseline, 8 MB)** — single-GEMV
+  formulations measure 13.2–14.6 µs/pass (590–620 GB/s VMEM-read
+  equivalent; chunked-accumulate variants within 5% of the plain
+  lowering), so the two-pass floor is ~27 µs and the jitted XLA loop
+  already runs at 28.4 µs — 95% of the in-kernel floor.  The kernel
+  cannot win here; default OFF (XLA path).
+
+The ``FASTA_TPU_PALLAS`` env var overrides: "1" forces on, "0" forces
+off, unset/"auto" applies the size rule above.
 """
 
 from __future__ import annotations
@@ -72,22 +84,43 @@ def _row_tile(m_pad: int, n: int, cap: int = 512,
 import os
 
 
+def pallas_mode() -> str:
+    """The Pallas switch, read DYNAMICALLY at trace time — the solver
+    cache keys on the same read (solver.py make_solver), so toggling
+    FASTA_TPU_PALLAS mid-process always selects a matching executable.
+
+    "1" → on everywhere supported; "0" → off; unset/"auto" → on only in
+    the HBM-streaming regime (A beyond VMEM residency), where the
+    one-read pass measured ≥ XLA's two-pass wall time (1.22× on v5e,
+    2026-08-17; 1.0× tie at round-1's backend state) — and off at
+    VMEM-resident sizes, where the XLA loop already runs at ~95% of the
+    in-kernel two-pass floor and the single-row GEMV kernel loses."""
+    v = os.environ.get("FASTA_TPU_PALLAS", "auto")
+    return {"1": "on", "0": "off"}.get(v, "auto")
+
+
 def pallas_enabled() -> bool:
-    """The Pallas opt-in switch, read DYNAMICALLY at trace time — the
-    solver cache keys on the same read (solver.py make_solver), so
-    toggling FASTA_TPU_PALLAS mid-process always selects a matching
-    executable.  Opt-in because the streaming GEMV kernel does not yet
-    beat XLA's two-pass rate (module docstring); the XLA fallback is
-    mathematically identical, so correctness never depends on this."""
-    return os.environ.get("FASTA_TPU_PALLAS", "0") == "1"
+    """Explicit opt-in (used by the whole-solve microsolvers and the TV
+    fused gradmap, which stay off unless forced)."""
+    return pallas_mode() == "on"
+
+
+# Beyond this working-set size the two XLA GEMV passes stream A from
+# HBM twice; the fused one-read pass wins (or at worst ties).  v5e VMEM
+# is 128 MB; 64 MB leaves no room for a double-buffered resident A.
+_STREAMING_BYTES = 64 << 20
 
 
 def supports_fusion(m: int, n: int, dtype) -> bool:
     """Pallas path preconditions: real f32 on a TPU backend (rows are
-    zero-padded to the 128 lane granularity internally)."""
-    del m, n
-    return (pallas_enabled()
-            and jax.default_backend() == "tpu"
+    zero-padded to the 128 lane granularity internally); enabled by
+    default only for HBM-streaming sizes (see pallas_mode)."""
+    mode = pallas_mode()
+    if mode == "off":
+        return False
+    if mode == "auto" and m * n * 4 <= _STREAMING_BYTES:
+        return False
+    return (jax.default_backend() == "tpu"
             and dtype == jnp.float32)
 
 
@@ -101,11 +134,14 @@ def lstsq_gradmap_reference(A, x, b):
     return d, f, g
 
 
-def _kernel_vpu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
+def _kernel_vpu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref,
+                g_acc, f_acc):
     """VPU formulation: broadcast-multiply + reductions.  GEMV leaves
     127/128 MXU lanes idle, so the vector units are the natural engine;
     everything stays exact f32 (no MXU bf16 rounding).  b/d ride the
-    sublane axis as (tm, 1) columns."""
+    sublane axis as (tm, 1) columns.  g/f accumulate in VMEM/SMEM
+    scratch and are written out once on the last grid step — measured
+    ~5% faster than revisited output blocks (v5e, 8192×16384)."""
     i = pl.program_id(0)
     A = A_ref[:]
     r = jnp.sum(A * x_ref[:], axis=1, keepdims=True) - b_ref[:]  # (tm,1)
@@ -115,13 +151,18 @@ def _kernel_vpu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
 
     @pl.when(i == 0)
     def _init():
-        g_ref[:] = gpart
-        f_ref[0, 0] = fpart
+        g_acc[:] = gpart
+        f_acc[0, 0] = fpart
 
     @pl.when(i > 0)
     def _acc():
-        g_ref[:] = g_ref[:] + gpart
-        f_ref[0, 0] = f_ref[0, 0] + fpart
+        g_acc[:] = g_acc[:] + gpart
+        f_acc[0, 0] = f_acc[0, 0] + fpart
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _out():
+        g_ref[:] = g_acc[:]
+        f_ref[0, 0] = f_acc[0, 0]
 
 
 def _make_kernel_mxu(precision):
@@ -133,7 +174,8 @@ def _make_kernel_mxu(precision):
     error on GEMV — measured on hardware); HIGHEST (≈6 passes) restores
     full f32, HIGH (bf16x3, 3 passes) is near-f32 at half the MXU work.
     """
-    def kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref):
+    def kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref,
+               g_acc, f_acc):
         i = pl.program_id(0)
         # r = x Aᵀ − b  over this row tile:  (1,n)·(tm,n)ᵀ → (1,tm)
         r = (jax.lax.dot_general(
@@ -152,13 +194,18 @@ def _make_kernel_mxu(precision):
 
         @pl.when(i == 0)
         def _init():
-            g_ref[:] = gpart
-            f_ref[0, 0] = fpart
+            g_acc[:] = gpart
+            f_acc[0, 0] = fpart
 
         @pl.when(i > 0)
         def _acc():
-            g_ref[:] = g_ref[:] + gpart
-            f_ref[0, 0] = f_ref[0, 0] + fpart
+            g_acc[:] = g_acc[:] + gpart
+            f_acc[0, 0] = f_acc[0, 0] + fpart
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _out():
+            g_ref[:] = g_acc[:]
+            f_ref[0, 0] = f_acc[0, 0]
 
     return kernel
 
@@ -220,6 +267,10 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
             jax.ShapeDtypeStruct(d_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),       # g accumulator
+            pltpu.SMEM((1, 1), jnp.float32),       # f accumulator
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * n,

@@ -576,7 +576,7 @@ def make_solver(opts: FastaOptions):
     # the Pallas opt-in env var is read at trace time inside
     # fused_gradmap — it must key the cache or toggling it would silently
     # reuse the other path's executable
-    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "0"),
+    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "auto"),
            os.environ.get("FASTA_TPU_DD_IMPL", "reduce"))
     fn = _SOLVER_CACHE.get(key)
     if fn is None:
