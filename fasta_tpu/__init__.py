@@ -12,6 +12,7 @@ Public surface:
   solve(...)        — device-side solve on pytree terms (stays on device)
   make_solver(...)  — jitted solver factory, cached per option set
   FastaOptions      — the static option set (the compatibility surface)
+  microsolve(...)   — whole-solve-in-one-kernel dispatch (Problem → Pallas)
   operators         — pytree LinearOps (dense, stencil, FFT, composed)
   terms             — pytree objective terms (LeastSquares, L1Norm, …)
   prox              — closed-form proximal operators / projections
@@ -32,6 +33,8 @@ from .solver import (
     FastaResult, DeviceResult, SolverState, Diagnostics,
 )
 from . import precision
+from .micro import MicroResult, microsolve, microsolve_supported
+from .problem import Problem
 from .terms import (
     SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge, NMFLoss,
     PlanarPhaseHinge, SquaredHinge, FunctionSmooth, ProxTerm, L1Norm,
@@ -53,6 +56,7 @@ __all__ = [
     "ProxTerm", "L1Norm", "LinfNorm", "L21Norm", "NuclearNorm",
     "NonnegIndicator", "BoxIndicator", "LinfBallIndicator",
     "MaxRowNormBall", "LinearAnchor", "PlanarLinearAnchor", "L2Norm2", "ZeroTerm",
+    "Problem", "MicroResult", "microsolve", "microsolve_supported",
     "FunctionProx", "as_smooth_term", "as_prox_term", "checkpoint",
     "operators", "plotting", "profiling", "prox", "smooth", "terms",
 ]

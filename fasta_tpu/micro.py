@@ -1,0 +1,165 @@
+"""Public dispatch onto the on-chip whole-solve microsolvers.
+
+The microsolvers (``kernels/microsolver.py``, ``kernels/microsolver_tv.py``)
+run the ENTIRE adaptive FASTA solve as one Pallas kernel launch — the
+speed-of-light path for VMEM-resident problems where the jitted XLA loop
+is dispatch-bound (measured: TV 512×512 3.7×, LASSO 1.0–1.14×; see
+docs/PERF.md).  They cover a fixed set of problem STRUCTURES, so the
+public entry is an explicit dispatcher: :func:`microsolve` inspects a
+:class:`~fasta_tpu.problem.Problem`'s operator/term types and routes to
+the matching kernel, raising with a reason when the structure (or mode)
+is outside kernel scope.  Unlike the env-gated automatic paths
+(``FASTA_TPU_PALLAS``), calling this function IS the opt-in.
+
+Reference capability note: the reference has no native components at all
+(SURVEY.md §2.4 — pure Python); these kernels are the TPU-native
+equivalent of its hot path, fused to the logical extreme.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .operators import DenseOp, ScaledOp, TVDiv2D
+from .problem import Problem
+from .terms import BoxIndicator, L1Norm, LeastSquares, NonnegIndicator
+
+__all__ = ["MicroResult", "microsolve", "microsolve_supported"]
+
+
+@dataclass
+class MicroResult:
+    """Result of a whole-solve kernel run.
+
+    Deliberately smaller than :class:`~fasta_tpu.solver.FastaResult`:
+    the kernels record exactly (stepsizes, residuals, iteration count,
+    convergence flag) — per-iteration f-values/objectives/backtrack
+    counts stay on-core and are not exported.  Use the XLA solver when
+    full diagnostics are needed.
+    """
+
+    solution: np.ndarray
+    iteration_count: int
+    converged: bool
+    residuals: np.ndarray
+    taus: np.ndarray
+    solve_time: float       # wall clock incl. compile on a cold cache
+
+
+def _dispatch(problem: Problem):
+    """Return (kind, detail) for a supported problem, else (None, why)."""
+    op, f, g = problem.op, problem.fterm, problem.gterm
+
+    if (isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D)
+            and isinstance(f, LeastSquares) and isinstance(g, BoxIndicator)):
+        b = np.asarray(f.b)
+        if b.ndim != 2:
+            return None, f"TV kernel needs a 2-D image, got b.ndim={b.ndim}"
+        if not (g.lo == -1.0 and g.hi == 1.0):
+            return None, "TV kernel implements the [-1,1] dual ball only"
+        return "tv", float(op.c)
+
+    if isinstance(op, DenseOp) and isinstance(f, LeastSquares):
+        b = np.asarray(f.b)
+        if b.ndim != 1:
+            return None, f"dense kernel needs a vector b, got ndim={b.ndim}"
+        if isinstance(g, L1Norm):
+            return "dense", ("l1", float(np.asarray(g.mu)))
+        if isinstance(g, NonnegIndicator):
+            return "dense", ("nonneg", 0.0)
+        if isinstance(g, BoxIndicator) and g.lo == -1.0 and g.hi == 1.0:
+            return "dense", ("box", 0.0)
+        return None, (f"dense kernel supports L1Norm/NonnegIndicator/"
+                      f"BoxIndicator(-1,1) prox terms, got "
+                      f"{type(g).__name__}")
+
+    return None, (f"no whole-solve kernel for operator "
+                  f"{type(op).__name__} + smooth {type(f).__name__} "
+                  f"(supported: ScaledOp(TVDiv2D) TV dual, DenseOp "
+                  f"least squares)")
+
+
+def microsolve_supported(problem: Problem) -> tuple:
+    """(supported: bool, reason: str) — structure check only (no
+    backend/VMEM gating; those raise from :func:`microsolve`)."""
+    kind, detail = _dispatch(problem)
+    if kind is None:
+        return False, detail
+    return True, kind
+
+
+def microsolve(problem: Problem, tau0: Optional[float] = None,
+               max_iters: int = 1000, tol: float = 1e-3, window: int = 10,
+               shrink_factor: float = 0.2, max_backtracks: int = 20,
+               hp: bool = True, engine: str = "mxu",
+               interpret: Optional[bool] = None) -> MicroResult:
+    """Solve ``problem`` entirely inside one Pallas kernel launch.
+
+    Adaptive (BB) mode only — the mode where the reference runs by
+    default and where whole-solve fusion pays.  ``hp`` (TV kernel)
+    selects in-kernel double-word decision scalars, matching the XLA
+    ``precision="auto"`` path; needs power-of-two image dims.
+    ``interpret=None`` auto-enables the Pallas interpreter off-TPU so
+    the same call works in CPU tests.
+
+    Raises ``ValueError`` when the problem structure has no kernel —
+    this API never silently falls back; use ``Problem.solve`` for the
+    general path.
+    """
+    kind, detail = _dispatch(problem)
+    if kind is None:
+        raise ValueError(f"microsolve: {detail}")
+
+    if tau0 is None:
+        tau0 = problem.tau0
+    if tau0 is None:
+        raise ValueError("microsolve needs an explicit tau0 (the "
+                         "estimator lives in the XLA solver)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    t0 = time.perf_counter()
+    if kind == "tv":
+        from .kernels.microsolver_tv import microsolve_tv
+
+        mu = detail
+        b = jnp.asarray(problem.fterm.b, jnp.float32)
+        p0 = jnp.asarray(problem.x0, jnp.float32)
+        h, w = b.shape
+        if hp and ((h & (h - 1)) or (w & (w - 1))):
+            raise ValueError(f"hp TV kernel needs power-of-two dims, "
+                             f"got {h}x{w}; pass hp=False")
+        p, taus, res, k, conv = microsolve_tv(
+            b, p0, tau0, mu, max_iters=max_iters, window=window, tol=tol,
+            shrink_factor=shrink_factor, max_backtracks=max_backtracks,
+            interpret=interpret, hp=hp)
+        sol = np.asarray(p)
+    else:
+        from .kernels.microsolver import microsolve_lasso
+
+        prox, mu = detail
+        A = jnp.asarray(problem.op.A, jnp.float32)
+        b = jnp.asarray(problem.fterm.b, jnp.float32)
+        x0 = jnp.asarray(problem.x0, jnp.float32)
+        x, taus, res, k, conv = microsolve_lasso(
+            A, b, x0, tau0, mu, max_iters=max_iters, window=window,
+            tol=tol, shrink_factor=shrink_factor,
+            max_backtracks=max_backtracks, interpret=interpret,
+            engine=engine, prox=prox)
+        sol = np.asarray(x).reshape(-1)
+
+    k = int(k)
+    return MicroResult(
+        solution=sol,
+        iteration_count=k,
+        converged=bool(conv),
+        residuals=np.asarray(res).reshape(-1)[:k],
+        taus=np.asarray(taus).reshape(-1)[:k],
+        solve_time=time.perf_counter() - t0,
+    )

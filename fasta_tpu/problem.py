@@ -55,6 +55,13 @@ class Problem:
         return make_solver(opts)(self.op, self.fterm, self.gterm,
                                  jnp.asarray(self.x0), tau0)
 
+    def microsolve(self, **kwargs):
+        """Whole-solve-in-one-kernel path (adaptive mode); see
+        :func:`fasta_tpu.micro.microsolve`.  Raises ``ValueError`` when
+        this problem's structure has no on-chip kernel."""
+        from .micro import microsolve as _micro
+        return _micro(self, **kwargs)
+
     def with_parts(self, **kwargs) -> "Problem":
         """Copy with replaced fields (used by sharding placement)."""
         return replace(self, **kwargs)

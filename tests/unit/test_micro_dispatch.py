@@ -1,0 +1,79 @@
+"""Public microsolver dispatch (fasta_tpu.micro) — structure routing,
+result contract, and agreement with the XLA solver (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import problems
+from fasta_tpu import MicroResult, microsolve, microsolve_supported
+
+
+def test_supported_reports_structures():
+    lasso = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    tv = problems.build("tv", h=16, w=16, dtype=jnp.float32)
+    logistic = problems.build("logistic", m=64, n=32, dtype=jnp.float32)
+    assert microsolve_supported(lasso) == (True, "dense")
+    assert microsolve_supported(tv) == (True, "tv")
+    ok, why = microsolve_supported(logistic)
+    assert not ok and "Logistic" in why
+
+
+def test_unsupported_raises_with_reason():
+    prob = problems.build("logistic", m=64, n=32, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="Logistic"):
+        microsolve(prob, tau0=1.0, max_iters=10)
+
+
+def test_lasso_dispatch_matches_xla():
+    prob = problems.build("lasso", m=200, n=400, k=20, dtype=jnp.float32)
+    r = microsolve(prob, tau0=0.05, max_iters=100, tol=1e-6)
+    assert isinstance(r, MicroResult)
+    prob.tau0 = 0.05
+    rx = prob.solve(tol=1e-6, max_iters=100, fuse=False,
+                    precision="standard")
+    assert r.iteration_count == rx.iteration_count
+    assert r.converged == rx.converged
+    # early-strict taus; full-trajectory residuals at f32-drift tolerance
+    # (conventions of tests/unit/test_microsolver.py)
+    np.testing.assert_allclose(r.taus[:10], rx.taus[:10], rtol=1e-5)
+    np.testing.assert_allclose(r.residuals, rx.residuals[:r.iteration_count],
+                               rtol=1e-2, atol=1e-6)
+    np.testing.assert_allclose(r.solution, rx.solution, atol=1e-5)
+
+
+def test_nnls_dispatch_nonneg_prox():
+    prob = problems.build("nnls", m=80, n=40, dtype=jnp.float32)
+    r = microsolve(prob, tau0=0.08, max_iters=120, tol=1e-6)
+    assert r.converged
+    assert np.all(r.solution >= 0.0)
+    prob.tau0 = 0.08
+    rx = prob.solve(tol=1e-6, max_iters=120, fuse=False,
+                    precision="standard")
+    np.testing.assert_allclose(r.solution, rx.solution, atol=1e-5)
+
+
+def test_tv_dispatch_hp_and_problem_method():
+    prob = problems.build("tv", h=16, w=16, dtype=jnp.float32)
+    r = prob.microsolve(tau0=2.0, max_iters=400, tol=1e-4, hp=True)
+    assert r.solution.shape == (2, 16, 16)
+    prob.tau0 = 2.0
+    rx = prob.solve(tol=1e-4, max_iters=400, fuse=False,
+                    precision="auto")
+    # same convergence regime; early trajectory identical
+    kk = min(8, r.iteration_count, rx.iteration_count)
+    np.testing.assert_allclose(r.taus[:kk], rx.taus[:kk], rtol=1e-4)
+
+
+def test_tv_hp_nonpow2_raises():
+    prob = problems.build("tv", h=24, w=24, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="power-of-two"):
+        microsolve(prob, tau0=2.0, max_iters=10, hp=True)
+    r = microsolve(prob, tau0=2.0, max_iters=10, tol=0.0, hp=False)
+    assert r.iteration_count == 10
+
+
+def test_tau0_required():
+    prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="tau0"):
+        microsolve(prob, max_iters=10)
