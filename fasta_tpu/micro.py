@@ -98,15 +98,16 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                max_iters: int = 1000, tol: float = 1e-3, window: int = 10,
                shrink_factor: float = 0.2, max_backtracks: int = 20,
                hp: bool = True, engine: str = "mxu",
+               accelerate: bool = False,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
-    Adaptive (BB) mode only — the mode where the reference runs by
-    default and where whole-solve fusion pays.  ``hp`` (TV kernel)
-    selects in-kernel double-word decision scalars, matching the XLA
-    ``precision="auto"`` path; needs power-of-two image dims.
-    ``interpret=None`` auto-enables the Pallas interpreter off-TPU so
-    the same call works in CPU tests.
+    Adaptive (BB) mode by default; ``accelerate=True`` selects FISTA
+    with adaptive restart (TV kernel only — fewer iterations on the TV
+    dual).  ``hp`` (TV kernel) selects in-kernel double-word decision
+    scalars, matching the XLA ``precision="auto"`` path; needs
+    power-of-two image dims.  ``interpret=None`` auto-enables the
+    Pallas interpreter off-TPU so the same call works in CPU tests.
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
@@ -138,9 +139,13 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         p, taus, res, k, conv = microsolve_tv(
             b, p0, tau0, mu, max_iters=max_iters, window=window, tol=tol,
             shrink_factor=shrink_factor, max_backtracks=max_backtracks,
-            interpret=interpret, hp=hp)
+            interpret=interpret, hp=hp, accelerate=accelerate)
         sol = np.asarray(p)
     else:
+        if accelerate:
+            raise ValueError("accelerate is only available for the TV "
+                             "kernel; the dense microsolver is adaptive "
+                             "(BB) only")
         from .kernels.microsolver import microsolve_lasso
 
         prox, mu = detail

@@ -73,6 +73,16 @@ def test_tv_hp_nonpow2_raises():
     assert r.iteration_count == 10
 
 
+def test_accelerate_dispatch():
+    tv = problems.build("tv", h=16, w=16, dtype=jnp.float32)
+    r = microsolve(tv, tau0=2.0, max_iters=400, tol=1e-4,
+                   accelerate=True)
+    assert r.converged
+    lasso = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="accelerate"):
+        microsolve(lasso, tau0=0.05, max_iters=10, accelerate=True)
+
+
 def test_tau0_required():
     prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
     with pytest.raises(ValueError, match="tau0"):

@@ -54,6 +54,58 @@ def test_tv_microsolver_hp_converges_like_xla_hp():
     assert int(k) <= 2 * r.iteration_count
 
 
+def test_tv_microsolver_accel_matches_xla_accel():
+    """FISTA-mode kernel vs the XLA accelerated hp path: identical
+    iteration count and solution (the affine-d extrapolation and
+    restart rule mirror solver.py exactly)."""
+    prob = problems.build("tv", h=64, w=64, dtype=jnp.float32)
+    inst = prob.instance
+    b = jnp.asarray(inst["b"], jnp.float32)
+    p0 = jnp.asarray(inst["x0"], jnp.float32)
+    p, taus, res, k, conv = microsolve_tv(b, p0, 2.0, inst["mu"],
+                                          max_iters=3000, tol=1e-5,
+                                          interpret=True, hp=True,
+                                          accelerate=True,
+                                          restart_dd=True)
+    prob.tau0 = 2.0
+    r = prob.solve(tol=1e-5, max_iters=3000, fuse=False,
+                   precision="auto", adaptive=False, accelerate=True)
+    assert bool(conv) and r.converged
+    assert int(k) == r.iteration_count
+    np.testing.assert_allclose(np.asarray(p), r.solution, atol=1e-6)
+    kk = int(k)
+    np.testing.assert_allclose(np.asarray(res[:kk]), r.residuals[:kk],
+                               rtol=1e-4)
+    # the default fast restart (plain-f32 sign test) must land in the
+    # same convergence regime — identical count on this instance
+    p2, _, _, k2, conv2 = microsolve_tv(b, p0, 2.0, inst["mu"],
+                                        max_iters=3000, tol=1e-5,
+                                        interpret=True, hp=True,
+                                        accelerate=True)
+    assert bool(conv2) and int(k2) == int(k)
+
+
+def test_tv_microsolver_accel_plain_f32_prefix():
+    """Non-hp accel kernel vs XLA standard-precision accel: early
+    trajectory agreement."""
+    prob = problems.build("tv", h=32, w=32, dtype=jnp.float32)
+    inst = prob.instance
+    b = jnp.asarray(inst["b"], jnp.float32)
+    p0 = jnp.asarray(inst["x0"], jnp.float32)
+    K = 12
+    p, taus, res, k, conv = microsolve_tv(b, p0, 2.0, inst["mu"],
+                                          max_iters=K, tol=0.0,
+                                          interpret=True, hp=False,
+                                          accelerate=True)
+    prob.tau0 = 2.0
+    r = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                   stop_rule="iterations", precision="standard",
+                   adaptive=False, accelerate=True)
+    np.testing.assert_allclose(np.asarray(res[:K]), r.residuals[:K],
+                               rtol=1e-4)
+    assert int(k) == K
+
+
 def test_tv_microsolver_hp_prefix_matches_xla_hp():
     """Early-trajectory agreement of the hp microsolver with the XLA hp
     solver (before f32 chaos compounds): stepsizes and residuals."""
