@@ -71,6 +71,22 @@ def main():
     print(f"tv:    micro {2000/tm:.0f} it/s | xla {2000/tx:.0f} it/s "
           f"({tx/tm:.2f}x)", flush=True)
 
+    # TV wall-to-tol: the end-to-end contest (hp scalars, adaptive vs
+    # FISTA, microsolver vs XLA loop) — the BENCH_RESULTS four-way
+    def conv_wall(accel):
+        def run():
+            _p, _t_, _r, kk, _c = microsolve_tv(
+                bb, p0, 2.0, ti["mu"], max_iters=2048 if accel else 4000,
+                tol=1e-5, hp=True, accelerate=accel)
+            return int(kk)
+        k = run()
+        return k, _t(run)
+    for accel in (False, True):
+        k, tw = conv_wall(accel)
+        mode = "fista" if accel else "adapt"
+        print(f"tv-to-tol[{mode}]: micro k={k} wall={tw*1e3:.1f}ms",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
