@@ -33,7 +33,7 @@ _WPAD = 128
 
 def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
-                 restart_dd=True):
+                 restart_dd=False):
     from .. import precision as prec
 
     if hp:
@@ -142,6 +142,72 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
         def cond(c):
             return (c[0] < max_iters) & (~c[1])
 
+        # ---- shared solver-step machinery (both modes) ----------------
+        # A mode's fb(tau) returns (zv, zh, xv, xh, dv, dh, f1, *rest):
+        # the first seven slots are fixed so the backtracking loop can
+        # read dv/dh/f1 positionally; *rest carries mode extras (adaptive:
+        # the prox-point gradient for BB; accel: d1 for the affine
+        # extrapolation).
+
+        def window_max(fwin_c, fwlo_c, f1):
+            """Nonmonotone window max M (+ hp backtracking slack).
+
+            hp: max tiebreak on the lo channel resolves sub-ulp f
+            differences like the XLA path's dd_max; the slack term is
+            solver.py's — f32 STORAGE means the true f can genuinely
+            exceed the window by O(eps32)·scale."""
+            if hp:
+                mhi = jnp.max(fwin_c)
+                mlo = jnp.max(jnp.where(fwin_c == mhi, fwlo_c, -jnp.inf))
+                slack = 1e-12 + (64.0 * 1.1920929e-07) \
+                    * (jnp.abs(mhi) + jnp.abs(prec.dd_to_float(f1)))
+                return prec.DD(mhi, mlo), slack
+            return jnp.max(fwin_c), None
+
+        def backtrack(fb, first, tau, gv_c, gh_c, M, slack):
+            """Zhang–Hager nonmonotone line search over fb trials."""
+            def bt_cond(bc):
+                tau_b = bc[0]
+                dv_b, dh_b, f1_b = bc[5], bc[6], bc[7]
+                cnt = bc[-1]
+                nd2 = jnp.sum(dv_b * dv_b) + jnp.sum(dh_b * dh_b)
+                if hp:
+                    rdg = dd_dot2(dv_b, dh_b, gv_c, gh_c)
+                    suff = prec.dd_add(M, prec.dd_add(
+                        rdg, prec.dd(nd2 / (2.0 * tau_b))))
+                    viol = prec.dd_to_float(
+                        prec.dd_sub(f1_b, suff)) > slack
+                else:
+                    rdg = jnp.sum(dv_b * gv_c) + jnp.sum(dh_b * gh_c)
+                    viol = f1_b - 1e-12 > M + rdg + nd2 / (2.0 * tau_b)
+                return viol & (cnt < max_backtracks)
+
+            def bt_body(bc):
+                tau_b, *_, cnt = bc
+                tau_n = tau_b * shrink_factor
+                return (tau_n,) + fb(tau_n) + (cnt + 1,)
+
+            out = jax.lax.while_loop(
+                bt_cond, bt_body,
+                (tau,) + first + (jnp.zeros((), jnp.int32),))
+            return out[:-1]               # drop the trial counter
+
+        def resid_stop(tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c,
+                       maxres_c):
+            """Gradient-map residual, hybrid stopping (oracle C4)."""
+            nd2 = jnp.sum(dv * dv) + jnp.sum(dh * dh)
+            res = jnp.sqrt(nd2) / tau
+            maxres = jnp.maximum(maxres_c, res)
+            smv = xv - zv
+            smh = xh - zh
+            ng2 = jnp.sum(gv_c * gv_c) + jnp.sum(gh_c * gh_c)
+            nsm2 = jnp.sum(smv * smv) + jnp.sum(smh * smh)
+            normalizer = jnp.maximum(jnp.sqrt(ng2),
+                                     jnp.sqrt(nsm2) / tau) + 1e-8
+            nres = res / normalizer
+            stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+            return nd2, res, maxres, stop
+
         if accelerate:
             def body(c):
                 (k, _stop, yv, yh, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
@@ -157,59 +223,16 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                     d1 = fwd(xv, xh)
                     # no adjoint during trials: accel needs ∇f̃ only at
                     # the extrapolated point, after acceptance
-                    return zv, zh, xv, xh, dv, dh, d1, fof(d1)
+                    return zv, zh, xv, xh, dv, dh, fof(d1), d1
 
                 tau = tau_c
-                zv, zh, xv, xh, dv, dh, d1, f1 = fb(tau)
-                if hp:
-                    mhi = jnp.max(fwin_c)
-                    mlo = jnp.max(jnp.where(fwin_c == mhi, fwlo_c,
-                                            -jnp.inf))
-                    M = prec.DD(mhi, mlo)
-                    slack = 1e-12 + (64.0 * 1.1920929e-07) \
-                        * (jnp.abs(mhi) + jnp.abs(prec.dd_to_float(f1)))
-                else:
-                    M = jnp.max(fwin_c)
+                first = fb(tau)
+                M, slack = window_max(fwin_c, fwlo_c, first[6])
+                (tau, zv, zh, xv, xh, dv, dh, f1, d1) = backtrack(
+                    fb, first, tau, gv_c, gh_c, M, slack)
 
-                def bt_cond(bc):
-                    (tau_b, _zv, _zh, _xv, _xh, dv_b, dh_b, _d1, f1_b,
-                     cnt) = bc
-                    nd2 = jnp.sum(dv_b * dv_b) + jnp.sum(dh_b * dh_b)
-                    if hp:
-                        rdg = dd_dot2(dv_b, dh_b, gv_c, gh_c)
-                        suff = prec.dd_add(M, prec.dd_add(
-                            rdg, prec.dd(nd2 / (2.0 * tau_b))))
-                        viol = prec.dd_to_float(
-                            prec.dd_sub(f1_b, suff)) > slack
-                    else:
-                        rdg = (jnp.sum(dv_b * gv_c)
-                               + jnp.sum(dh_b * gh_c))
-                        viol = (f1_b - 1e-12
-                                > M + rdg + nd2 / (2.0 * tau_b))
-                    return viol & (cnt < max_backtracks)
-
-                def bt_body(bc):
-                    tau_b, *_, cnt = bc
-                    tau_n = tau_b * shrink_factor
-                    return (tau_n,) + fb(tau_n) + (cnt + 1,)
-
-                (tau, zv, zh, xv, xh, dv, dh, d1, f1,
-                 _bt) = jax.lax.while_loop(
-                    bt_cond, bt_body,
-                    (tau, zv, zh, xv, xh, dv, dh, d1, f1,
-                     jnp.zeros((), jnp.int32)))
-
-                nd2 = jnp.sum(dv * dv) + jnp.sum(dh * dh)
-                res = jnp.sqrt(nd2) / tau
-                maxres = jnp.maximum(maxres_c, res)
-                smv = xv - zv
-                smh = xh - zh
-                ng2 = jnp.sum(gv_c * gv_c) + jnp.sum(gh_c * gh_c)
-                nsm2 = jnp.sum(smv * smv) + jnp.sum(smh * smh)
-                normalizer = jnp.maximum(jnp.sqrt(ng2),
-                                         jnp.sqrt(nsm2) / tau) + 1e-8
-                nres = res / normalizer
-                stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+                _nd2, res, maxres, stop = resid_stop(
+                    tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)
 
                 taus_n = jnp.where(lane_k == k, tau, taus_c)
                 res_n = jnp.where(lane_k == k, res, res_c)
@@ -288,56 +311,13 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                 return zv, zh, xv, xh, dv, dh, f1, gv1, gh1
 
             tau = tau_c
-            zv, zh, xv, xh, dv, dh, f1, gv1, gh1 = fb(tau)
-            if hp:
-                mhi = jnp.max(fwin_c)
-                mlo = jnp.max(jnp.where(fwin_c == mhi, fwlo_c, -jnp.inf))
-                M = prec.DD(mhi, mlo)
-                # f32-storage backtracking slack as in solver.py: the
-                # iterates themselves are rounded, so f can genuinely
-                # exceed the window by O(eps32)·scale
-                slack = 1e-12 + (64.0 * 1.1920929e-07) \
-                    * (jnp.abs(mhi) + jnp.abs(prec.dd_to_float(f1)))
-            else:
-                M = jnp.max(fwin_c)
+            first = fb(tau)
+            M, slack = window_max(fwin_c, fwlo_c, first[6])
+            (tau, zv, zh, xv, xh, dv, dh, f1, gv1, gh1) = backtrack(
+                fb, first, tau, gv_c, gh_c, M, slack)
 
-            def bt_cond(bc):
-                (tau_b, _zv, _zh, _xv, _xh, dv_b, dh_b, f1_b, _gv,
-                 _gh, cnt) = bc
-                nd2 = jnp.sum(dv_b * dv_b) + jnp.sum(dh_b * dh_b)
-                if hp:
-                    rdg = dd_dot2(dv_b, dh_b, gv_c, gh_c)
-                    suff = prec.dd_add(M, prec.dd_add(
-                        rdg, prec.dd(nd2 / (2.0 * tau_b))))
-                    viol = prec.dd_to_float(
-                        prec.dd_sub(f1_b, suff)) > slack
-                else:
-                    rdg = jnp.sum(dv_b * gv_c) + jnp.sum(dh_b * gh_c)
-                    viol = f1_b - 1e-12 > M + rdg + nd2 / (2.0 * tau_b)
-                return viol & (cnt < max_backtracks)
-
-            def bt_body(bc):
-                tau_b, *_, cnt = bc
-                tau_n = tau_b * shrink_factor
-                return (tau_n,) + fb(tau_n) + (cnt + 1,)
-
-            (tau, zv, zh, xv, xh, dv, dh, f1, gv1, gh1,
-             _bt) = jax.lax.while_loop(
-                bt_cond, bt_body,
-                (tau, zv, zh, xv, xh, dv, dh, f1, gv1, gh1,
-                 jnp.zeros((), jnp.int32)))
-
-            nd2 = jnp.sum(dv * dv) + jnp.sum(dh * dh)
-            res = jnp.sqrt(nd2) / tau
-            maxres = jnp.maximum(maxres_c, res)
-            smv = xv - zv
-            smh = xh - zh
-            ng2 = jnp.sum(gv_c * gv_c) + jnp.sum(gh_c * gh_c)
-            nsm2 = jnp.sum(smv * smv) + jnp.sum(smh * smh)
-            normalizer = jnp.maximum(jnp.sqrt(ng2),
-                                     jnp.sqrt(nsm2) / tau) + 1e-8
-            nres = res / normalizer
-            stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+            nd2, res, maxres, stop = resid_stop(
+                tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)
 
             taus_n = jnp.where(lane_k == k, tau, taus_c)
             res_n = jnp.where(lane_k == k, res, res_c)

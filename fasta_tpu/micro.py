@@ -58,18 +58,22 @@ def _dispatch(problem: Problem):
 
     if (isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D)
             and isinstance(f, LeastSquares) and isinstance(g, BoxIndicator)):
-        b = np.asarray(f.b)
-        if b.ndim != 2:
-            return None, f"TV kernel needs a 2-D image, got b.ndim={b.ndim}"
+        nd = jnp.ndim(f.b)          # metadata only — no host transfer
+        if nd != 2:
+            return None, f"TV kernel needs a 2-D image, got b.ndim={nd}"
         if not (g.lo == -1.0 and g.hi == 1.0):
             return None, "TV kernel implements the [-1,1] dual ball only"
         return "tv", float(op.c)
 
     if isinstance(op, DenseOp) and isinstance(f, LeastSquares):
-        b = np.asarray(f.b)
-        if b.ndim != 1:
-            return None, f"dense kernel needs a vector b, got ndim={b.ndim}"
+        nd = jnp.ndim(f.b)
+        if nd != 1:
+            return None, f"dense kernel needs a vector b, got ndim={nd}"
         if isinstance(g, L1Norm):
+            if jnp.ndim(g.mu) != 0:
+                return None, ("dense kernel needs a scalar mu (static in "
+                              "the kernel); batched/vmap-swept mu has no "
+                              "whole-solve kernel")
             return "dense", ("l1", float(np.asarray(g.mu)))
         if isinstance(g, NonnegIndicator):
             return "dense", ("nonneg", 0.0)
@@ -97,17 +101,23 @@ def microsolve_supported(problem: Problem) -> tuple:
 def microsolve(problem: Problem, tau0: Optional[float] = None,
                max_iters: int = 1000, tol: float = 1e-3, window: int = 10,
                shrink_factor: float = 0.2, max_backtracks: int = 20,
-               hp: bool = True, engine: str = "mxu",
-               accelerate: bool = False,
+               hp: Optional[bool] = None, engine: Optional[str] = None,
+               accelerate: bool = False, restart: bool = True,
+               restart_dd: bool = False,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
     Adaptive (BB) mode by default; ``accelerate=True`` selects FISTA
-    with adaptive restart (TV kernel only — fewer iterations on the TV
-    dual).  ``hp`` (TV kernel) selects in-kernel double-word decision
-    scalars, matching the XLA ``precision="auto"`` path; needs
-    power-of-two image dims.  ``interpret=None`` auto-enables the
-    Pallas interpreter off-TPU so the same call works in CPU tests.
+    with adaptive ``restart`` (TV kernel only — fewer iterations on the
+    TV dual; ``restart_dd=True`` mirrors the XLA hp restart dot
+    bit-for-bit at ~1.27× the wall).  ``hp`` (TV kernel; defaults on)
+    selects in-kernel double-word decision scalars, matching the XLA
+    ``precision="auto"`` path; needs power-of-two image dims.
+    ``engine`` (dense kernel; defaults to "mxu") picks the matvec
+    formulation.  Explicitly passing a kernel-specific option to the
+    other kernel raises — this API never silently drops a request.
+    ``interpret=None`` auto-enables the Pallas interpreter off-TPU so
+    the same call works in CPU tests.
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
@@ -129,23 +139,35 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     if kind == "tv":
         from .kernels.microsolver_tv import microsolve_tv
 
+        if engine is not None:
+            raise ValueError("engine selects the dense kernel's matvec "
+                             "formulation; the TV kernel has none — "
+                             "omit it for TV problems")
+        hp_tv = True if hp is None else hp
         mu = detail
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         p0 = jnp.asarray(problem.x0, jnp.float32)
         h, w = b.shape
-        if hp and ((h & (h - 1)) or (w & (w - 1))):
+        if hp_tv and ((h & (h - 1)) or (w & (w - 1))):
             raise ValueError(f"hp TV kernel needs power-of-two dims, "
                              f"got {h}x{w}; pass hp=False")
         p, taus, res, k, conv = microsolve_tv(
             b, p0, tau0, mu, max_iters=max_iters, window=window, tol=tol,
             shrink_factor=shrink_factor, max_backtracks=max_backtracks,
-            interpret=interpret, hp=hp, accelerate=accelerate)
+            interpret=interpret, hp=hp_tv, accelerate=accelerate,
+            restart=restart, restart_dd=restart_dd)
         sol = np.asarray(p)
     else:
         if accelerate:
             raise ValueError("accelerate is only available for the TV "
                              "kernel; the dense microsolver is adaptive "
                              "(BB) only")
+        if hp is not None:
+            raise ValueError("the dense microsolver has no hp mode (its "
+                             "problems converge at plain f32 — "
+                             "docs/PERF.md); omit hp, or use "
+                             "Problem.solve(precision='auto') for dd "
+                             "decision scalars")
         from .kernels.microsolver import microsolve_lasso
 
         prox, mu = detail
@@ -156,7 +178,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
             A, b, x0, tau0, mu, max_iters=max_iters, window=window,
             tol=tol, shrink_factor=shrink_factor,
             max_backtracks=max_backtracks, interpret=interpret,
-            engine=engine, prox=prox)
+            engine=engine or "mxu", prox=prox)
         sol = np.asarray(x).reshape(-1)
 
     k = int(k)

@@ -83,6 +83,32 @@ def test_accelerate_dispatch():
         microsolve(lasso, tau0=0.05, max_iters=10, accelerate=True)
 
 
+def test_kernel_specific_options_rejected_crosswise():
+    lasso = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="hp"):
+        microsolve(lasso, tau0=0.05, max_iters=10, hp=True)
+    tv = problems.build("tv", h=16, w=16, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="engine"):
+        microsolve(tv, tau0=2.0, max_iters=10, engine="vpu")
+
+
+def test_batched_mu_reported_unsupported():
+    from fasta_tpu import L1Norm
+    prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    prob.gterm = L1Norm(jnp.asarray([0.05, 0.1]))   # vmap-sweep leaf
+    ok, why = microsolve_supported(prob)
+    assert not ok and "scalar mu" in why
+    with pytest.raises(ValueError, match="scalar mu"):
+        microsolve(prob, tau0=0.05, max_iters=10)
+
+
+def test_restart_dd_reachable_from_dispatcher():
+    tv = problems.build("tv", h=16, w=16, dtype=jnp.float32)
+    r = microsolve(tv, tau0=2.0, max_iters=400, tol=1e-4,
+                   accelerate=True, restart_dd=True)
+    assert r.converged
+
+
 def test_tau0_required():
     prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
     with pytest.raises(ValueError, match="tau0"):
