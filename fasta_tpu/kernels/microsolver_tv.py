@@ -36,11 +36,6 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                  restart_dd=False):
     from .. import precision as prec
 
-    if hp:
-        # the in-kernel reduction trees below assume power-of-two dims
-        assert h & (h - 1) == 0 and w & (w - 1) == 0, \
-            "hp TV microsolver needs power-of-two image dims"
-
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
                xv_ref, xh_ref, taus_ref, res_ref, k_ref, conv_ref):
         b = b_ref[:]
@@ -57,8 +52,17 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
             log₂-step butterfly all-reduce via circular rolls.  All
             fully vectorized VPU ops — in-kernel there is no per-kernel
             dispatch cost, which is what makes oracle-grade decision
-            scalars affordable inside the whole-solve loop."""
+            scalars affordable inside the whole-solve loop.  Non-pow2
+            dims are zero-padded to the next power of two up front —
+            zeros are EXACT in two_sum/two_prod chains, so the dd value
+            is unchanged."""
             hh = phi.shape[0]
+            hp2 = 1 << (hh - 1).bit_length()
+            if hp2 != hh:
+                z = jnp.zeros((hp2 - hh, phi.shape[1]), jnp.float32)
+                phi = jnp.concatenate([phi, z], axis=0)
+                plo = jnp.concatenate([plo, z], axis=0)
+                hh = hp2
             while hh > 1:
                 half = hh // 2
                 s = prec.dd_add(prec.DD(phi[:half], plo[:half]),
@@ -66,6 +70,12 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                 phi, plo = s.hi, s.lo
                 hh = half
             ww = phi.shape[1]
+            wp2 = 1 << (ww - 1).bit_length()
+            if wp2 != ww:
+                z = jnp.zeros((phi.shape[0], wp2 - ww), jnp.float32)
+                phi = jnp.concatenate([phi, z], axis=1)
+                plo = jnp.concatenate([plo, z], axis=1)
+                ww = wp2
             while ww > 128:
                 half = ww // 2
                 s = prec.dd_add(prec.DD(phi[:, :half], plo[:, :half]),
@@ -399,7 +409,8 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     regressing to the plain-f32 convergence stall (round 1: 15.7k
     iterations vs 1.9k at tol 1e-5 on TV 512×512).  In-kernel the dd
     reductions are pure vectorized VPU ops — no per-reduce kernel
-    dispatch, unlike the XLA path.
+    dispatch, unlike the XLA path; non-pow2 dims are zero-padded inside
+    the reduction trees (exact).
     """
     h, w = b.shape
     kpad = ((max_iters + 127) // 128) * 128

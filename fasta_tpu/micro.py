@@ -112,7 +112,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     TV dual; ``restart_dd=True`` mirrors the XLA hp restart dot
     bit-for-bit at ~1.27× the wall).  ``hp`` (TV kernel; defaults on)
     selects in-kernel double-word decision scalars, matching the XLA
-    ``precision="auto"`` path; needs power-of-two image dims.
+    ``precision="auto"`` path (non-pow2 dims are zero-padded inside the
+    reduction trees — exact).
     ``engine`` (dense kernel; defaults to "mxu") picks the matvec
     formulation.  Explicitly passing a kernel-specific option to the
     other kernel raises — this API never silently drops a request.
@@ -147,10 +148,6 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         mu = detail
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         p0 = jnp.asarray(problem.x0, jnp.float32)
-        h, w = b.shape
-        if hp_tv and ((h & (h - 1)) or (w & (w - 1))):
-            raise ValueError(f"hp TV kernel needs power-of-two dims, "
-                             f"got {h}x{w}; pass hp=False")
         p, taus, res, k, conv = microsolve_tv(
             b, p0, tau0, mu, max_iters=max_iters, window=window, tol=tol,
             shrink_factor=shrink_factor, max_backtracks=max_backtracks,

@@ -65,12 +65,19 @@ def test_tv_dispatch_hp_and_problem_method():
     np.testing.assert_allclose(r.taus[:kk], rx.taus[:kk], rtol=1e-4)
 
 
-def test_tv_hp_nonpow2_raises():
+def test_tv_hp_nonpow2_supported():
+    """hp dd trees zero-pad non-pow2 dims (exact) — the hp kernel must
+    track the XLA hp path on a 24x24 image like it does on pow2."""
     prob = problems.build("tv", h=24, w=24, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="power-of-two"):
-        microsolve(prob, tau0=2.0, max_iters=10, hp=True)
-    r = microsolve(prob, tau0=2.0, max_iters=10, tol=0.0, hp=False)
-    assert r.iteration_count == 10
+    K = 10
+    r = microsolve(prob, tau0=2.0, max_iters=K, tol=0.0, hp=True)
+    assert r.iteration_count == K
+    prob.tau0 = 2.0
+    rx = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                    stop_rule="iterations", precision="auto")
+    np.testing.assert_allclose(r.taus[:K], rx.taus[:K], rtol=1e-4)
+    np.testing.assert_allclose(r.residuals[:K], rx.residuals[:K],
+                               rtol=1e-4)
 
 
 def test_accelerate_dispatch():
