@@ -47,10 +47,12 @@ from .problem import Problem
 __all__ = [
     "make_mesh", "make_mesh_2d", "shard_problem", "shard_problem_2d",
     "RowShardedDenseOp", "RowShardedPlanarDenseOp", "ShardedCDPOp",
-    "RowShardedSparseOp", "GridShardedDenseOp", "replicate", "shard_rows",
+    "RowShardedSparseOp", "GridShardedDenseOp", "RowShardedTVDivOp",
+    "replicate", "shard_rows",
     "shard_cols", "sharded_lstsq_gradmap", "sharded_lstsq_gradmap_2d",
     "sharded_phase_hinge_gradmap", "sharded_planar_phase_hinge_gradmap",
     "sharded_pointwise_gradmap", "sharded_cdp_phase_hinge_gradmap",
+    "sharded_tv_lstsq_gradmap",
 ]
 
 
@@ -594,6 +596,122 @@ def sharded_lstsq_gradmap_2d(op: "GridShardedDenseOp", b):
     return lambda x: fn(op.A, b, x)
 
 
+@jax.tree_util.register_pytree_node_class
+class RowShardedTVDivOp(LinearOp):
+    """TV-dual operator ``c·div`` with the DUAL FIELD itself sharded over
+    image rows — structured-operator (stencil) parallelism via halo
+    exchange.
+
+    Layout: the dual field p (2, H, W) is sharded on the H axis; images
+    (H, W) on their leading axis.  The forward-difference stencils need
+    exactly ONE neighbor row per leg, exchanged with a single
+    ``lax.ppermute`` riding the ICI ring:
+
+      * forward  ``c·div(p)`` reads pv[i−1] → each device sends its LAST
+        vertical-dual row to the next device (device 0 receives the
+        ppermute zero-fill, which IS the Neumann boundary term);
+      * adjoint  ``c·grad(y)`` reads y[i+1] → each device sends its FIRST
+        row to the previous device (last device's zero-fill again matches
+        the boundary).
+
+    Stencil semantics bit-match ``operators.TVDiv2D``/``TVGrad2D`` (the
+    oracle's ``tv_div_2d``/``tv_grad_2d``): the globally-last dual row /
+    gradient row is zeroed on the owning device via ``lax.axis_index``.
+    Unlike the dense row-sharded layout (signal replicated), here the
+    VARIABLE is distributed — memory for p, y, x, Δx scales 1/D — and the
+    solver's scalar reductions over p partition into psums.
+    """
+
+    def __init__(self, c: float, mesh: Mesh, axis_name: str = "rows"):
+        self.c = c
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def _nd(self):
+        return int(self.mesh.shape[self.axis_name])
+
+    def _fwd_local(self, p_blk):
+        """Device-local c·div of a (2, Hb, W) block; one ppermute."""
+        ax, D, c = self.axis_name, self._nd(), self.c
+        pv, ph = p_blk[0], p_blk[1]
+        # halo: previous device's last pv row (device 0 gets zeros)
+        prev_last = jax.lax.ppermute(
+            pv[-1:, :], ax, [(i, i + 1) for i in range(D - 1)])
+        pv_shift = jnp.concatenate([prev_last, pv[:-1, :]], axis=0)
+        # pv with the GLOBAL last row zeroed (only on the last device)
+        is_last = (jax.lax.axis_index(ax) == D - 1)
+        tail = jnp.where(is_last, jnp.zeros_like(pv[-1:, :]), pv[-1:, :])
+        pv_m = jnp.concatenate([pv[:-1, :], tail], axis=0)
+        out = pv_shift - pv_m
+        zcol = jnp.zeros((ph.shape[0], 1), p_blk.dtype)
+        out = out + (jnp.concatenate([zcol, ph[:, :-1]], axis=1)
+                     - jnp.concatenate([ph[:, :-1], zcol], axis=1))
+        return c * out
+
+    def _adj_local(self, y_blk):
+        """Device-local c·grad of a (Hb, W) block; one ppermute."""
+        ax, D, c = self.axis_name, self._nd(), self.c
+        # halo: next device's first row (last device gets zeros)
+        nxt_first = jax.lax.ppermute(
+            y_blk[:1, :], ax, [(i, i - 1) for i in range(1, D)])
+        y_down = jnp.concatenate([y_blk[1:, :], nxt_first], axis=0)
+        dv = y_down - y_blk
+        # global last gradient row is zero (Neumann): on the last device
+        # y_down's tail is the ppermute zero-fill, not x[H] — overwrite.
+        is_last = (jax.lax.axis_index(ax) == D - 1)
+        tail = jnp.where(is_last, jnp.zeros_like(dv[-1:, :]), dv[-1:, :])
+        dv = jnp.concatenate([dv[:-1, :], tail], axis=0)
+        dh = jnp.concatenate(
+            [y_blk[:, 1:] - y_blk[:, :-1],
+             jnp.zeros((y_blk.shape[0], 1), y_blk.dtype)], axis=1)
+        return c * jnp.stack([dv, dh])
+
+    def __call__(self, p):
+        ax = self.axis_name
+        return shard_map(
+            self._fwd_local, mesh=self.mesh,
+            in_specs=(P(None, ax, None),),
+            out_specs=P(ax, None),
+        )(p)
+
+    def rmatvec(self, y):
+        ax = self.axis_name
+        return shard_map(
+            self._adj_local, mesh=self.mesh,
+            in_specs=(P(ax, None),),
+            out_specs=P(None, ax, None),
+        )(y)
+
+    def tree_flatten(self):
+        return (), (self.c, self.mesh, self.axis_name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del children
+        return cls(*aux)
+
+
+def sharded_tv_lstsq_gradmap(op: "RowShardedTVDivOp", b):
+    """Fused sharded TV-dual gradmap:
+    p ↦ (c·div p, ½‖c·div p − b‖², c·grad(c·div p − b)) as ONE shard_map
+    region — two halo ppermutes (one per stencil leg) and a single psum
+    for the f-value; d, the residual, and g stay row-local end to end.
+    ``b`` must carry the image row sharding (shard_problem places it)."""
+    ax = op.axis_name
+
+    def local(b_blk, p_blk):
+        d_blk = op._fwd_local(p_blk)
+        r = d_blk - b_blk
+        f = jax.lax.psum(0.5 * jnp.vdot(r, r).real, ax)
+        g_blk = op._adj_local(r)
+        return d_blk, f, g_blk
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(ax, None), P(None, ax, None)),
+                   out_specs=(P(ax, None), P(), P(None, ax, None)))
+    return lambda p: fn(b, p)
+
+
 def shard_problem_2d(problem: Problem, mesh: Mesh,
                      row_axis: str = "rows",
                      col_axis: str = "cols") -> Problem:
@@ -687,8 +805,20 @@ def shard_problem(problem: Problem, mesh: Mesh,
     x0 = place(problem.x0, False)
 
     from .operators import (ComposeOp, DiagonalOp, MaskedFourierOp,
-                            PlanarDenseOp, SparseOp, StackedOp)
-    if explicit and isinstance(op, DenseOp):
+                            PlanarDenseOp, ScaledOp, SparseOp, StackedOp,
+                            TVDiv2D)
+    if explicit and isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D):
+        # stencil (structured-operator) parallelism: shard the dual
+        # field itself over image rows; halo exchange via ppermute
+        x0 = jnp.asarray(problem.x0)
+        if x0.ndim != 3 or x0.shape[1] % n_dev != 0:
+            raise ValueError(
+                f"TV dual field {x0.shape} needs H divisible by mesh "
+                f"size {n_dev}")
+        x0 = jax.device_put(
+            x0, NamedSharding(mesh, P(None, axis_name, None)))
+        op = RowShardedTVDivOp(float(op.c), mesh, axis_name)
+    elif explicit and isinstance(op, DenseOp):
         op = RowShardedDenseOp(op.A, mesh, axis_name,
                                precision=op.precision)
     elif explicit and isinstance(op, PlanarDenseOp):

@@ -56,12 +56,15 @@ __all__ = [
 
 def _redot(a, b):
     """Re⟨a, b⟩ over arbitrary-shape (possibly complex) arrays — the
-    complex-safe inner product every stepsize/stopping decision uses."""
-    return jnp.real(jnp.vdot(a, b))
+    complex-safe inner product every stepsize/stopping decision uses.
+    Shape-preserving (no vdot/ravel): flattening a sharded multi-axis
+    array forces an all-gather under GSPMD, while an elementwise
+    multiply + all-axes reduce partitions into one psum."""
+    return jnp.real(jnp.sum(jnp.conj(a) * b))
 
 
 def _norm2(a):
-    return jnp.real(jnp.vdot(a, a))
+    return jnp.real(jnp.sum(jnp.conj(a) * a))
 
 
 def _norm(a):

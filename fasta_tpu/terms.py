@@ -125,12 +125,16 @@ class LeastSquares(SmoothTerm):
         XLA fallback elsewhere."""
         from .operators import DenseOp, ScaledOp, TVDiv2D
         from .sharding import (GridShardedDenseOp, RowShardedDenseOp,
+                               RowShardedTVDivOp,
                                sharded_lstsq_gradmap,
-                               sharded_lstsq_gradmap_2d)
+                               sharded_lstsq_gradmap_2d,
+                               sharded_tv_lstsq_gradmap)
         if isinstance(op, RowShardedDenseOp):
             return sharded_lstsq_gradmap(op, self.b)
         if isinstance(op, GridShardedDenseOp):
             return sharded_lstsq_gradmap_2d(op, self.b)
+        if isinstance(op, RowShardedTVDivOp):
+            return sharded_tv_lstsq_gradmap(op, self.b)
         if (isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D)
                 and jnp.asarray(self.b).ndim == 2):
             from .kernels.lstsq_fused import pallas_enabled

@@ -34,6 +34,10 @@ def _collectives(txt):
             len(re.findall(r" all-gather\(", txt)))
 
 
+def _permutes(txt):
+    return len(re.findall(r" collective-permute\(", txt))
+
+
 def test_lasso_collective_budget():
     prob = problems.build("lasso", m=240, n=96, k=10, dtype=jnp.float64)
     txt = _compiled_text(prob, max_iters=50)
@@ -99,6 +103,31 @@ def test_phase_retrieval_collective_budget():
     # measured: 6
     assert n_ar == 6, f"unexpected all-reduce count {n_ar}"
     assert n_ag == 0
+
+
+def test_tv_halo_collective_budget():
+    """Sharded-dual TV: 2 halo ppermutes per gradmap region × 3 regions;
+    one fused f-psum per region + 2 decision-scalar psums over the
+    sharded dual (measured).  Nothing may gather the dual field —
+    solver dots are shape-preserving reductions, not vdot/ravel."""
+    prob = problems.build("tv", h=64, w=64, dtype=jnp.float64)
+    txt = _compiled_text(prob, max_iters=50)
+    n_ar, n_ag = _collectives(txt)
+    assert n_ar == 5, f"unexpected all-reduce count {n_ar}"
+    assert n_ag == 0
+    assert _permutes(txt) == 6
+    # dual field partitioned: (2, 64/8, 64) per-device blocks present
+    assert re.search(r"f64\[2,8,64\]", txt), "dual field not partitioned"
+
+
+def test_tv_halo_accel_collective_budget():
+    prob = problems.build("tv", h=64, w=64, dtype=jnp.float64)
+    txt = _compiled_text(prob, max_iters=50, adaptive=False,
+                         accelerate=True)
+    n_ar, n_ag = _collectives(txt)
+    assert n_ar == 6, f"unexpected all-reduce count {n_ar}"   # measured
+    assert n_ag == 0
+    assert _permutes(txt) == 6
 
 
 def test_partitioned_shapes_present():

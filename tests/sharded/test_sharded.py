@@ -100,14 +100,20 @@ def test_sharded_planar_phase_retrieval():
                                atol=1e-8)
 
 
-def test_sharded_tv_stencil_generic():
+@pytest.mark.parametrize("explicit", [False, True])
+def test_sharded_tv_stencil(explicit):
     """Structured (matrix-free) operator under sharding: the TV dual
-    solve with b row-sharded must match the single-device run."""
+    solve with b row-sharded must match the single-device run.
+    explicit=False → GSPMD-inferred collectives (dual replicated);
+    explicit=True → halo-exchange path (dual sharded, ppermute halos;
+    full coverage in test_sharded_breadth)."""
     prob = problems.build("tv", h=64, w=64, dtype=jnp.float64)
     prob.tau0 = 2.0
     r_single = _solve(prob, tol=1e-6, max_iters=60)
     mesh = sh.make_mesh()
-    sprob = sh.shard_problem(prob, mesh)
+    sprob = sh.shard_problem(prob, mesh, explicit=explicit)
+    if explicit:
+        assert isinstance(sprob.op, sh.RowShardedTVDivOp)
     r_shard = _solve(sprob, tol=1e-6, max_iters=60)
     assert r_shard.iteration_count == r_single.iteration_count
     np.testing.assert_allclose(r_shard.solution, r_single.solution,

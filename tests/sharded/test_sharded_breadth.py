@@ -114,6 +114,78 @@ def test_sharded_sparse_scalar_sequence_identity():
                                atol=1e-8)
 
 
+# ------------------------------------------------- TV halo exchange --
+
+def test_row_sharded_tv_op_bitmatch():
+    """Halo-exchange stencil ≡ the unsharded ScaledOp(TVDiv2D) bit-for-
+    bit on both legs (the halo rows are the exact neighbor values and
+    ppermute zero-fill IS the Neumann boundary term)."""
+    from fasta_tpu.operators import ScaledOp, TVDiv2D
+    mesh = sh.make_mesh()
+    rng = np.random.default_rng(5)
+    mu = 0.1
+    p = jnp.asarray(rng.standard_normal((2, 64, 32)))
+    y = jnp.asarray(rng.standard_normal((64, 32)))
+    ref = ScaledOp(mu, TVDiv2D())
+    op = sh.RowShardedTVDivOp(mu, mesh)
+    np.testing.assert_array_equal(np.asarray(op(p)), np.asarray(ref(p)))
+    np.testing.assert_array_equal(np.asarray(op.rmatvec(y)),
+                                  np.asarray(ref.rmatvec(y)))
+    ft.check_adjoint(op, p, jax.random.PRNGKey(6), rtol=1e-10)
+
+
+def test_sharded_tv_fused_gradmap_matches_lazy():
+    from fasta_tpu.operators import ScaledOp, TVDiv2D
+    mesh = sh.make_mesh()
+    rng = np.random.default_rng(7)
+    mu = 0.1
+    p = jnp.asarray(rng.standard_normal((2, 64, 32)))
+    b = jnp.asarray(rng.standard_normal((64, 32)))
+    ref = ScaledOp(mu, TVDiv2D())
+    op = sh.RowShardedTVDivOp(mu, mesh)
+    d, f, g = sh.sharded_tv_lstsq_gradmap(op, sh.shard_rows(b, mesh))(p)
+    d0 = ref(p)
+    r0 = d0 - b
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d0))
+    np.testing.assert_allclose(float(f), 0.5 * float(jnp.vdot(r0, r0)),
+                               rtol=1e-12)   # psum reduction order only
+    np.testing.assert_array_equal(np.asarray(g),
+                                  np.asarray(ref.rmatvec(r0)))
+
+
+@pytest.mark.parametrize("modes", [{}, dict(adaptive=False,
+                                            accelerate=True)])
+def test_sharded_tv_dual_scalar_sequence_identity(modes):
+    """Structured-operator parallelism: the DUAL FIELD itself is sharded
+    over image rows (memory scales 1/D) and the stencil legs halo-
+    exchange one row via ppermute — trajectory must replay the
+    single-device run."""
+    prob = problems.build("tv", h=64, w=64, dtype=jnp.float64)
+    prob.tau0 = 2.0
+    r_single = _solve(prob, tol=1e-6, max_iters=60, **modes)
+    mesh = sh.make_mesh()
+    sprob = sh.shard_problem(prob, mesh)
+    assert isinstance(sprob.op, sh.RowShardedTVDivOp)
+    assert jnp.asarray(sprob.x0).sharding.spec == P(None, "rows", None)
+    r_shard = _solve(sprob, tol=1e-6, max_iters=60, **modes)
+    assert r_shard.iteration_count == r_single.iteration_count
+    k = r_single.iteration_count
+    np.testing.assert_allclose(r_shard.taus[:k], r_single.taus[:k],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_shard.residuals[:k],
+                               r_single.residuals[:k], rtol=1e-6,
+                               atol=1e-12)
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-9)
+
+
+def test_sharded_tv_indivisible_raises():
+    prob = problems.build("tv", h=36, w=36, dtype=jnp.float64)
+    mesh = sh.make_mesh()          # 36 % 8 != 0
+    with pytest.raises(ValueError):
+        sh.shard_problem(prob, mesh)
+
+
 # ------------------------------------------------------------ 2-D mesh --
 
 def test_mesh2d_construction():
