@@ -76,15 +76,21 @@ def main():
 
 
 # Measured single-chip iteration times (docs/PERF.md, v5e, host-readback
-# timing) and the per-iteration all-reduce payload of the row-sharded
-# layout (one fused psum of the n-vector gradient + scalars).
+# timing) and the per-iteration communication of each sharded layout:
+# psum bytes for the row-sharded fused gradmap (one all-reduce of the
+# n-vector gradient + scalars), halo bytes for the TV stencil path
+# (2 single-row ppermutes per gradmap — point-to-point, not all-reduce).
 _MEASURED = [
-    # name, per-iter seconds @1 chip, psum bytes, compute scales 1/N?
-    ("lasso 1000x2000 f32", 40e-6, 2000 * 4, False),
+    # name, per-iter s @1 chip, psum bytes, compute 1/N?, halo bytes
+    ("lasso 1000x2000 f32", 40e-6, 2000 * 4, False, 0),
     # small problem: per-iteration time is launch/MXU-latency floor,
     # NOT bandwidth — sharding the 8 MB operand does not shrink it
-    ("lasso 8192x16384 f32", 2.0e-3, 16384 * 4, True),
-    ("phase retrieval 16384x256 planar", 173e-6, 2 * 256 * 4, True),
+    ("lasso 8192x16384 f32", 2.0e-3, 16384 * 4, True, 0),
+    ("phase retrieval 16384x256 planar", 173e-6, 2 * 256 * 4, True, 0),
+    # TV halo: the psum carries ONE scalar (the fused f-value); the
+    # stencil legs move one 512-lane image row each way per gradmap —
+    # the cheapest collective pattern in the framework
+    ("tv 512x512 dual halo", 85e-6, 4, True, 2 * 512 * 4),
 ]
 
 # ICI model (assumption, clearly parameterized — not measurable through
@@ -101,6 +107,13 @@ def _allreduce_time(S, N):
     return 2 * S * (N - 1) / N / _ICI_BW + 2 * (N - 1) * _ICI_LAT
 
 
+def _halo_time(S, N):
+    """Point-to-point neighbor exchange: one hop, latency-dominated."""
+    if N == 1:
+        return 0.0
+    return S / _ICI_BW + _ICI_LAT
+
+
 def model():
     """Projected multi-chip scaling efficiency from measured single-chip
     iteration times + the ring-all-reduce ICI model above (VERDICT r1
@@ -113,11 +126,12 @@ def model():
     header = f"{'config':>34} " + "".join(f"{f'N={n}':>8}"
                                           for n in (2, 4, 8, 16))
     print(header)
-    for name, t1, psum_bytes, shrinks in _MEASURED:
+    for name, t1, psum_bytes, shrinks, halo_bytes in _MEASURED:
         cells = []
         for N in (2, 4, 8, 16):
             compute = t1 / N if shrinks else t1
-            tN = compute + _allreduce_time(psum_bytes, N)
+            tN = (compute + _allreduce_time(psum_bytes, N)
+                  + _halo_time(halo_bytes, N))
             eff = t1 / (N * tN)
             cells.append(f"{100*eff:>7.0f}%")
         print(f"{name:>34} " + "".join(cells))
