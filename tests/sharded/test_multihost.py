@@ -32,8 +32,17 @@ _WORKER = textwrap.dedent("""
     out = fn(sp.op, sp.fterm, sp.gterm, jnp.asarray(sp.x0), 0.05)
     k = int(out.iteration_count)
     taus = np.asarray(out.taus)[:k]
+    # TV halo path: cross-process ppermute on both stencil legs
+    tv = problems.build("tv", h=64, w=32, dtype=jnp.float64)
+    stv = sh.shard_problem(tv, mesh)
+    assert isinstance(stv.op, sh.RowShardedTVDivOp)
+    tout = fn(stv.op, stv.fterm, stv.gterm, jnp.asarray(stv.x0), 2.0)
+    tk = int(tout.iteration_count)
+    ttaus = np.asarray(tout.taus)[:tk]
     print(f"RESULT {k} {taus.sum():.17e} "
-          f"{float(out.residuals[k-1]):.17e}", flush=True)
+          f"{float(out.residuals[k-1]):.17e} "
+          f"TV {tk} {ttaus.sum():.17e} "
+          f"{float(tout.residuals[tk-1]):.17e}", flush=True)
 """).replace("@REPO@", os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
 
