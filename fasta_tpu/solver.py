@@ -48,7 +48,7 @@ from .options import FastaOptions
 from .terms import ProxTerm, SmoothTerm, as_prox_term, as_smooth_term
 
 __all__ = [
-    "fasta", "solve", "make_solver", "make_batch_solver",
+    "fasta", "solve", "make_solver", "make_batch_solver", "solve_path",
     "estimate_stepsize", "FastaResult", "DeviceResult", "SolverState",
     "Diagnostics",
 ]
@@ -609,6 +609,63 @@ def make_batch_solver(opts: FastaOptions, in_axes):
     """
     fn = _make_solve_fn(opts)
     return jax.jit(jax.vmap(fn, in_axes=in_axes))
+
+
+_PATH_CACHE: dict = {}
+
+
+def solve_path(op, fterm, gterms, x0, tau0,
+               opts: Optional[FastaOptions] = None) -> "DeviceResult":
+    """Warm-started regularization path (continuation / homotopy).
+
+    ``gterms`` is a prox term whose array leaves carry a leading PATH
+    axis — e.g. ``L1Norm(jnp.array([0.3, 0.1, 0.03]))``, strongest
+    penalty first.  The solves run in order as one jitted ``lax.scan``:
+    each starts from the previous solution and its last accepted
+    stepsize.  Returns a :class:`DeviceResult` whose every field is
+    stacked along the path axis.
+
+    Complements :func:`make_batch_solver` (independent COLD solves in
+    parallel vmap lanes): continuation trades lane parallelism for
+    fewer total iterations when adjacent path solutions are close — the
+    classic LASSO μ-path recipe, entirely on device with one compile.
+
+    Stopping-rule note: the default ``hybrid_residual`` rule normalizes
+    by the max residual seen within a solve; a warm start makes that
+    max small, so the relative criterion tightens and can eat the
+    warm-start iteration win (measured: plain FBS path 289 vs 388 cold
+    iterations under ``stop_rule="residual"``, but roughly even under
+    the hybrid rule).  For paths, prefer ``residual`` /
+    ``normalized_residual`` or interpret per-μ counts accordingly.
+    """
+    import os
+    opts = opts or FastaOptions()
+    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "auto"),
+           os.environ.get("FASTA_TPU_DD_IMPL", "reduce"))
+    path_fn = _PATH_CACHE.get(key)
+    if path_fn is None:
+        fn = _make_solve_fn(opts)
+
+        def run(op, fterm, gterms, x0, tau0):
+            rdt = jnp.real(jnp.zeros((), jnp.asarray(x0).dtype)).dtype
+
+            def step(carry, g):
+                x, tau = carry
+                r = fn(op, fterm, g, x, tau)
+                k = jnp.maximum(r.iteration_count - 1, 0)
+                last_tau = r.taus[k]
+                # degenerate solve (0 iterations / dead stepsize):
+                # keep warm-starting with the carried tau
+                last_tau = jnp.where(last_tau > 0, last_tau, tau)
+                return (r.solution, last_tau.astype(rdt)), r
+
+            carry0 = (jnp.asarray(x0), jnp.asarray(tau0, rdt))
+            _, results = jax.lax.scan(step, carry0, gterms)
+            return results
+
+        path_fn = jax.jit(run)
+        _PATH_CACHE[key] = path_fn
+    return path_fn(op, fterm, gterms, x0, tau0)
 
 
 def fasta(
