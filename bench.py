@@ -74,8 +74,10 @@ def main():
 
     if large:
         # 8192x16384 f32 = 512 MB: far beyond VMEM, exercises true HBM
-        # streaming (where the fused Pallas pass halves traffic)
-        iters = 50
+        # streaming (where the fused Pallas pass halves traffic).
+        # 200 iters so the tunnel's per-readback RTT (measured up to
+        # ~28 ms) stays a small fraction of the wall.
+        iters = 200
         oracle_iters = 5
         prob = problems.build("lasso", m=8192, n=16384, k=400)
         metric = "lasso_8192x16384_adaptive_iters_per_sec"
@@ -93,7 +95,11 @@ def main():
 
     m, n = prob.instance["A"].shape
     # adaptive iteration = 2 streaming passes over A (fwd + adjoint-grad)
-    bytes_per_iter = 2 * m * n * 4
+    # — or ONE when the fused one-pass kernel is active (auto at
+    # streaming sizes)
+    from fasta_tpu.kernels.lstsq_fused import supports_fusion
+    passes = 1 if supports_fusion(m, n, jnp.float32) else 2
+    bytes_per_iter = passes * m * n * 4
     gbps = tpu_ips * bytes_per_iter / 1e9
 
     result = {

@@ -28,17 +28,21 @@ operator is a real float32 DenseOp on a TPU backend; everywhere else the
 mathematically identical two-pass XLA fallback runs.  Complex operators
 currently take the fallback path (planar-complex kernel is a follow-up).
 
-Measured status on TPU v5e (2026-08-17, in-solver-loop timing with host
-readback barriers): both variants are numerically validated on hardware
-(g within 2e-7 of f64 truth).  The dispatch policy follows the two
-measured regimes:
+Measured status on TPU v5e (2026-08-17; RTT-amortized timing — the
+tunneled backend's per-readback round trip measured 28 ms that day, so
+single-call timings are latency, not bandwidth; chain K evaluations per
+readback or time whole solves): both variants are numerically validated
+on hardware (g within 6e-7 of the XLA graph).  The dispatch policy
+follows the two measured regimes:
 
 * **HBM-streaming (A beyond VMEM residency, e.g. 8192×16384 = 512 MB)**
-  — the one-read pass beats XLA's two-pass wall time **1.22×**
-  back-to-back (3.85 ms vs 4.69 ms/iter; scratch-accumulator variant),
-  and at worst ties it when the backend streams faster (round-1 state:
-  260 GB/s one-read vs 520 two-read — exactly the break-even).  Default
-  ON here (``supports_fusion`` auto mode).
+  — gradmap-only, K=10 chained evals/readback: one-read VPU kernel
+  0.41 ms/eval vs XLA two-pass 1.30 ms (**3.2×**; the kernel streams A
+  at ~3× XLA's GEMV rate AND reads it once).  In the full adaptive
+  solver loop: 1,125 it/s vs 631 (**1.78×**, 0.75 vs 1.45 ms/iter net
+  of RTT — the loop adds elementwise + decision-scalar passes).
+  Earlier "1.22×"/"260 vs 520 GB/s" records were RTT-contaminated.
+  Default ON here (``supports_fusion`` auto mode).
 * **VMEM-resident (the 1000×2000 baseline, 8 MB)** — single-GEMV
   formulations measure 13.2–14.6 µs/pass (590–620 GB/s VMEM-read
   equivalent; chunked-accumulate variants within 5% of the plain
@@ -278,8 +282,12 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            # double-buffered A tile + x/g/b/d rows, with headroom
-            vmem_limit_bytes=max(16 << 20, int(2.5 * tm * n * 4)),
+            # double-buffered A tile + x/g/b/d rows + Mosaic stack
+            # headroom: measured scoped need at (128, 16384) tiles is
+            # 22.92 MB vs the tile math's 20 MB — a 2.5× multiplier
+            # under-provisions and the kernel fails to compile on a
+            # cold cache (hit 2026-08-17)
+            vmem_limit_bytes=max(24 << 20, int(2.5 * tm * n * 4) + (8 << 20)),
         ),
         interpret=interpret,
     )(x2, b2, A)
