@@ -44,15 +44,25 @@ def bench_tpu(prob, opts, tau0: float, repeats: int = 3):
         # on remote/tunneled backends where block_until_ready returns at
         # dispatch time
         out = solve(*args)
-        return float(jnp.sum(out.taus))
+        return out, float(jnp.sum(out.taus))
 
-    run_blocking()                       # warmup / compile
+    warm, _ = run_blocking()             # warmup / compile
+    # The barrier itself costs one tunnel round trip (measured 1–28 ms
+    # depending on the day's tunnel state) — time it on the already-
+    # materialized warm result and subtract it, so the metric is solver
+    # time, not network latency.
+    barrier = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(warm.taus))
+        barrier = min(barrier, time.perf_counter() - t0)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         run_blocking()
         best = min(best, time.perf_counter() - t0)
-    return opts.max_iters / best, best
+    net = max(best - barrier, 1e-9)
+    return opts.max_iters / net, net, barrier
 
 
 def bench_oracle(inst, tau0: float, iters: int):
@@ -90,7 +100,7 @@ def main():
     opts = FastaOptions(max_iters=iters, stop_rule="iterations",
                         adaptive=True, backtrack=True)
 
-    tpu_ips, best = bench_tpu(prob, opts, tau0)
+    tpu_ips, best, barrier = bench_tpu(prob, opts, tau0)
     oracle_ips = bench_oracle(prob.instance, tau0, oracle_iters)
 
     m, n = prob.instance["A"].shape
@@ -109,7 +119,8 @@ def main():
         "vs_baseline": round(tpu_ips / oracle_ips, 2),
     }
     print(json.dumps(result))
-    print(f"# detail: best_wall={best:.4f}s for {iters} iters; "
+    print(f"# detail: net_wall={best:.4f}s for {iters} iters "
+          f"(readback barrier {barrier*1e3:.1f} ms subtracted); "
           f"oracle={oracle_ips:.1f} it/s; matvec traffic "
           f"{gbps:.1f} GB/s vs ~819 GB/s v5e HBM roofline",
           file=sys.stderr)
