@@ -42,9 +42,16 @@ class MicroResult:
     convergence flag) — per-iteration f-values/objectives/backtrack
     counts stay on-core and are not exported.  Use the XLA solver when
     full diagnostics are needed.
+
+    ``solution`` stays a DEVICE array (``np.asarray(r.solution)`` to
+    fetch): pulling a 512×512 dual field to the host costs ~100 ms over
+    a slow tunnel and is pure waste when the result feeds further
+    device-side work.  The scalar fields and the (k,) diagnostic
+    vectors are host-materialized — reading the iteration count forces
+    the completion sync anyway.
     """
 
-    solution: np.ndarray
+    solution: jax.Array
     iteration_count: int
     converged: bool
     residuals: np.ndarray
@@ -153,7 +160,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
             shrink_factor=shrink_factor, max_backtracks=max_backtracks,
             interpret=interpret, hp=hp_tv, accelerate=accelerate,
             restart=restart, restart_dd=restart_dd)
-        sol = np.asarray(p)
+        sol = p
     else:
         if accelerate:
             raise ValueError("accelerate is only available for the TV "
@@ -176,7 +183,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
             tol=tol, shrink_factor=shrink_factor,
             max_backtracks=max_backtracks, interpret=interpret,
             engine=engine or "mxu", prox=prox)
-        sol = np.asarray(x).reshape(-1)
+        sol = x.reshape(-1)
 
     k = int(k)
     return MicroResult(
