@@ -23,15 +23,24 @@ except Exception:
 
 
 def _t(f):
+    """Best-of-3 wall with the readback-barrier round trip subtracted —
+    the tunnel's per-readback RTT (measured 1–28 ms depending on the
+    day) is network latency, not kernel time (docs/PERF.md)."""
     out = f()
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf))
+    barrier = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(leaf))
+        barrier = min(barrier, time.perf_counter() - t0)
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         out = f()
         float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return max(best - barrier, 1e-9)
 
 
 def main():
@@ -78,8 +87,8 @@ def main():
             _p, _t_, _r, kk, _c = microsolve_tv(
                 bb, p0, 2.0, ti["mu"], max_iters=2048 if accel else 4000,
                 tol=1e-5, hp=True, accelerate=accel)
-            return int(kk)
-        k = run()
+            return kk          # device scalar — _t adds the one barrier
+        k = int(run())
         return k, _t(run)
     for accel in (False, True):
         k, tw = conv_wall(accel)

@@ -3,7 +3,8 @@
 The microsolvers (``kernels/microsolver.py``, ``kernels/microsolver_tv.py``)
 run the ENTIRE adaptive FASTA solve as one Pallas kernel launch — the
 speed-of-light path for VMEM-resident problems where the jitted XLA loop
-is dispatch-bound (measured: TV 512×512 3.7×, LASSO 1.0–1.14×; see
+is dispatch-bound (measured, readback-barrier-subtracted: TV 512×512
+2.2–3.7× depending on session chip state, LASSO 1.37×; see
 docs/PERF.md).  They cover a fixed set of problem STRUCTURES, so the
 public entry is an explicit dispatcher: :func:`microsolve` inspects a
 :class:`~fasta_tpu.problem.Problem`'s operator/term types and routes to
