@@ -56,6 +56,19 @@ def bench_oracle(prob, tau0, tol, max_iters=20000):
                 rel_err=prob.recovery_error(np.asarray(r.solution)))
 
 
+def _readback_barrier(warm_out, repeats=3):
+    """Cost of the completion barrier itself (one tunnel round trip,
+    measured 1–28 ms depending on the day) — timed on an already-
+    materialized result and subtracted from every wall below, so the
+    table records solver time, not network latency (docs/PERF.md)."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(warm_out.taus))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_tpu(prob, tau0, tol, fixed_iters, repeats=3):
     from fasta_tpu import FastaOptions, make_solver
 
@@ -65,12 +78,15 @@ def bench_tpu(prob, tau0, tol, fixed_iters, repeats=3):
     opts = FastaOptions(max_iters=fixed_iters, stop_rule="iterations")
     solve = make_solver(opts)
     args = (prob.op, prob.fterm, prob.gterm, jnp.asarray(prob.x0), tau0)
-    float(jnp.sum(solve(*args).taus))            # compile+warm
+    warm = solve(*args)
+    float(jnp.sum(warm.taus))                    # compile+warm
+    barrier = _readback_barrier(warm, repeats)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         float(jnp.sum(solve(*args).taus))
         best = min(best, time.perf_counter() - t0)
+    best = max(best - barrier, 1e-9)
     ips = fixed_iters / best
 
     # (b) converged wall time
@@ -80,7 +96,7 @@ def bench_tpu(prob, tau0, tol, fixed_iters, repeats=3):
     t0 = time.perf_counter()
     out = solve_c(*args)
     float(jnp.sum(out.taus))
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - barrier, 1e-9)
     k = int(out.iteration_count)
     return dict(ips=ips, fixed_iters=fixed_iters, fixed_seconds=best,
                 conv_iters=k, conv_seconds=dt,
@@ -113,7 +129,9 @@ def main():
     lines = [
         "# BENCH_RESULTS — measured",
         "",
-        f"Device: {device}; oracle: float64 NumPy on 1-core host CPU.",
+        f"Device: {device}; oracle: float64 NumPy on 1-core host CPU.  "
+        "TPU walls subtract the measured readback-barrier round trip "
+        "(docs/PERF.md methodology).",
         "",
         "Solver quality = `obj match` (relative objective gap vs the "
         "converged float64 oracle).  `recovery err` is distance to the "
@@ -136,8 +154,19 @@ def main():
             f"{t['conv_seconds']*1e3:.1f}ms | "
             f"{t['ips']/o['ips']:.0f}x | {objmatch:.2e} | "
             f"{t['rel_err']:.2e} | {o['rel_err']:.2e} |")
+    # preserve the hand-curated sections (microsolver / streaming /
+    # serving tables) below the first "## " heading — this script owns
+    # only the header + five-config table
+    tail = ""
+    try:
+        existing = open("BENCH_RESULTS.md").read()
+        idx = existing.find("\n## ")
+        if idx >= 0:
+            tail = existing[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH_RESULTS.md", "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write("\n".join(lines) + "\n" + tail)
     print(json.dumps({
         "device": device,
         "results": {p: {"oracle_ips": o["ips"], "tpu_ips": t["ips"],
