@@ -72,7 +72,7 @@ def _pad128(m: int) -> int:
     return ((m + 127) // 128) * 128
 
 
-def _row_tile(m_pad: int, n: int, cap: int = 512,
+def _row_tile(m_pad: int, n: int, itemsize: int = 4, cap: int = 512,
               tile_bytes_cap: int = 12 << 20) -> int:
     """Largest multiple of 128 ≤ cap dividing the (128-padded) row count
     whose A-tile fits the VMEM pipeline budget (double-buffered).
@@ -80,7 +80,7 @@ def _row_tile(m_pad: int, n: int, cap: int = 512,
     rows on the lane axis), and 128 always divides m_pad."""
     best = 128
     for tm in range(256, cap + 1, 128):
-        if m_pad % tm == 0 and tm * n * 4 <= tile_bytes_cap:
+        if m_pad % tm == 0 and tm * n * itemsize <= tile_bytes_cap:
             best = tm
     return best
 
@@ -116,16 +116,19 @@ _STREAMING_BYTES = 64 << 20
 
 
 def supports_fusion(m: int, n: int, dtype) -> bool:
-    """Pallas path preconditions: real f32 on a TPU backend (rows are
-    zero-padded to the 128 lane granularity internally); enabled by
-    default only for HBM-streaming sizes (see pallas_mode)."""
+    """Pallas path preconditions: real f32 or bf16-storage A on a TPU
+    backend (rows are zero-padded to the 128 lane granularity
+    internally); enabled by default only for HBM-streaming sizes — the
+    threshold compares the ACTUAL stored bytes, so a bf16 A must be 2×
+    as large before it leaves VMEM residency (see pallas_mode)."""
     mode = pallas_mode()
     if mode == "off":
         return False
-    if mode == "auto" and m * n * 4 <= _STREAMING_BYTES:
+    itemsize = jnp.dtype(dtype).itemsize
+    if mode == "auto" and m * n * itemsize <= _STREAMING_BYTES:
         return False
     return (jax.default_backend() == "tpu"
-            and dtype == jnp.float32)
+            and dtype in (jnp.float32, jnp.bfloat16))
 
 
 def lstsq_gradmap_reference(A, x, b):
@@ -145,9 +148,11 @@ def _kernel_vpu(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref,
     everything stays exact f32 (no MXU bf16 rounding).  b/d ride the
     sublane axis as (tm, 1) columns.  g/f accumulate in VMEM/SMEM
     scratch and are written out once on the last grid step — measured
-    ~5% faster than revisited output blocks (v5e, 8192×16384)."""
+    ~5% faster than revisited output blocks (v5e, 8192×16384).  A
+    bf16-storage tile is upcast to f32 on the VPU after the (half-byte)
+    DMA — the mixed-precision fast path streams half the bytes."""
     i = pl.program_id(0)
-    A = A_ref[:]
+    A = A_ref[:].astype(jnp.float32)
     r = jnp.sum(A * x_ref[:], axis=1, keepdims=True) - b_ref[:]  # (tm,1)
     d_ref[:] = r + b_ref[:]
     gpart = jnp.sum(A * r, axis=0, keepdims=True)                # (1,n)
@@ -181,9 +186,10 @@ def _make_kernel_mxu(precision):
     def kernel(x_ref, b_ref, A_ref, d_ref, f_ref, g_ref,
                g_acc, f_acc):
         i = pl.program_id(0)
+        A = A_ref[:].astype(jnp.float32)
         # r = x Aᵀ − b  over this row tile:  (1,n)·(tm,n)ᵀ → (1,tm)
         r = (jax.lax.dot_general(
-                x_ref[:], A_ref[:],
+                x_ref[:], A,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision)
@@ -191,7 +197,7 @@ def _make_kernel_mxu(precision):
         d_ref[:] = r + b_ref[:]
         # gradient partial  r A:  (1,tm)·(tm,n) → (1,n)
         gpart = jax.lax.dot_general(
-            r, A_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            r, A, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision)
         fpart = 0.5 * jnp.sum(r * r)
@@ -219,15 +225,20 @@ def _make_kernel_mxu(precision):
 def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
                         variant: str = "vpu",
                         precision=jax.lax.Precision.HIGHEST):
-    """One-pass (d, f, g) for f(x) = ½‖Ax−b‖², real f32 dense A.
+    """One-pass (d, f, g) for f(x) = ½‖Ax−b‖², real dense A stored as
+    f32 or bf16 (bf16 tiles are upcast to f32 in-kernel after the
+    half-byte DMA — the mixed-precision streaming path).
 
     Returns (d: (m,), f: scalar, g: (n,)).  ``variant``: "vpu" (default,
     exact f32 on the vector units) or "mxu" (matrix-unit matvecs at the
     given ``precision``).
     """
     m, n = A.shape
+    itemsize = jnp.dtype(A.dtype).itemsize
     m_pad = _pad128(m)
-    tm = _row_tile(m_pad, n)
+    tm = _row_tile(m_pad, n, itemsize)
+    x = x.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     if m_pad != m:
         # Zero rows are exact: they contribute r_i = 0, hence nothing to
         # f or g.  XLA hoists this loop-invariant pad out of the solver's
@@ -278,16 +289,18 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * n,
-            bytes_accessed=m_pad * n * 4 + (2 * m_pad + 2 * n) * 4,
+            bytes_accessed=m_pad * n * itemsize + (2 * m_pad + 2 * n) * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            # double-buffered A tile + x/g/b/d rows + Mosaic stack
-            # headroom: measured scoped need at (128, 16384) tiles is
-            # 22.92 MB vs the tile math's 20 MB — a 2.5× multiplier
-            # under-provisions and the kernel fails to compile on a
-            # cold cache (hit 2026-08-17)
-            vmem_limit_bytes=max(24 << 20, int(2.5 * tm * n * 4) + (8 << 20)),
+            # double-buffered A tile (+ its f32 upcast intermediate) +
+            # x/g/b/d rows + Mosaic stack headroom: measured scoped need
+            # at (128, 16384) f32 tiles is 22.92 MB vs the tile math's
+            # 20 MB — a bare 2.5× multiplier under-provisions and the
+            # kernel fails to compile on a cold cache (hit 2026-08-17)
+            vmem_limit_bytes=max(
+                24 << 20,
+                int(2.5 * tm * n * itemsize) + tm * n * 4 + (8 << 20)),
         ),
         interpret=interpret,
     )(x2, b2, A)

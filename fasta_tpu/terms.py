@@ -145,6 +145,19 @@ class LeastSquares(SmoothTerm):
                     and jnp.asarray(self.b).dtype == jnp.float32):
                 return lambda p: fused_tv_gradmap(p, self.b, mu)
             return lambda p: tv_gradmap_reference(p, self.b, mu)
+        from .operators import LowPrecDenseOp
+        if isinstance(op, LowPrecDenseOp):
+            # bf16-storage streaming path: the one-pass kernel reads
+            # half the bytes per pass (upcast to f32 in-kernel); the
+            # lazy two-call MXU path remains the fallback
+            A = op.A
+            if A.ndim != 2 or jnp.asarray(self.b).ndim != 1:
+                return None
+            from .kernels import fused_lstsq_gradmap, supports_fusion
+            m, n = A.shape
+            if supports_fusion(m, n, A.dtype):
+                return lambda x: fused_lstsq_gradmap(A, x, self.b)
+            return None
         if not isinstance(op, DenseOp):
             return None
         A = op.A

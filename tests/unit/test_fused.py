@@ -79,3 +79,34 @@ def test_nonquadratic_terms_do_not_fuse():
         ft.DenseOp(jnp.zeros((8, 4)))) is None
     assert not ft.Logistic(jnp.zeros(8)).grad_affine
     assert ft.LeastSquares(jnp.zeros(8)).grad_affine
+
+
+def test_fused_kernel_bf16_storage_interpret():
+    """bf16-storage A through the one-pass kernel (in-kernel f32
+    upcast) must agree with the f32 reference to bf16-grade accuracy
+    — the mixed-precision streaming path halves the bytes per pass."""
+    from fasta_tpu.kernels import fused_lstsq_gradmap, lstsq_gradmap_reference
+    rng = np.random.default_rng(3)
+    m, n = 64, 256
+    A32 = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    A16 = A32.astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    d, f, g = fused_lstsq_gradmap(A16, x, b, interpret=True)
+    d0, f0, g0 = lstsq_gradmap_reference(A32, x, b)
+    assert d.dtype == jnp.float32 and g.dtype == jnp.float32
+    np.testing.assert_allclose(d, d0, rtol=2e-2, atol=2e-1)
+    np.testing.assert_allclose(float(f), float(f0), rtol=2e-2)
+    np.testing.assert_allclose(g, g0, rtol=5e-2, atol=5e-1)
+
+
+def test_lowprec_op_fuses_only_in_streaming_regime(monkeypatch):
+    """LowPrecDenseOp dispatches onto the one-pass kernel when forced
+    on (or beyond the byte threshold); default-off at small sizes."""
+    A = jnp.zeros((64, 128), jnp.bfloat16)
+    op = ft.LowPrecDenseOp(A)
+    term = ft.LeastSquares(jnp.zeros(64))
+    monkeypatch.setenv("FASTA_TPU_PALLAS", "0")
+    assert term.fused_gradmap(op) is None
+    monkeypatch.delenv("FASTA_TPU_PALLAS", raising=False)
+    assert term.fused_gradmap(op) is None   # auto: VMEM-resident size
