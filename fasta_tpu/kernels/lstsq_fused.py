@@ -65,6 +65,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "fused_lstsq_gradmap", "lstsq_gradmap_reference", "supports_fusion",
+    "fused_pointwise_gradmap",
 ]
 
 
@@ -218,6 +219,126 @@ def _make_kernel_mxu(precision):
             f_ref[0, 0] = f_acc[0, 0]
 
     return kernel
+
+
+def _make_kernel_pointwise(loss_elem, n_data, masked):
+    """VPU streaming kernel for an arbitrary POINTWISE smooth loss
+    f(d) = Σᵢ ℓ(dᵢ; dataᵢ): same one-read structure as the least-squares
+    kernel — d from a broadcast-multiply matvec, ℓ/ℓ′ elementwise on the
+    tile, gradient partial Aᵀℓ′ accumulated in scratch.  ``loss_elem``
+    returns ELEMENTWISE (ℓ, ℓ′) so the kernel can mask padded rows
+    (zero rows of A give d=0, but ℓ(0) is generally nonzero — unlike
+    least squares, padding is only exact under the mask)."""
+    def kernel(*refs):
+        x_ref = refs[0]
+        off = 1
+        if masked:
+            mask_ref = refs[1]
+            off = 2
+        data_refs = refs[off:off + n_data]
+        (A_ref, d_ref, f_ref, g_ref, g_acc, f_acc) = refs[off + n_data:]
+        i = pl.program_id(0)
+        A = A_ref[:].astype(jnp.float32)
+        d = jnp.sum(A * x_ref[:], axis=1, keepdims=True)      # (tm,1)
+        d_ref[:] = d
+        ell, dl = loss_elem(d, *[r[:] for r in data_refs])
+        if masked:
+            mk = mask_ref[:]
+            ell = mk * ell
+            dl = mk * dl
+        fpart = jnp.sum(ell)
+        gpart = jnp.sum(A * dl, axis=0, keepdims=True)        # (1,n)
+
+        @pl.when(i == 0)
+        def _init():
+            g_acc[:] = gpart
+            f_acc[0, 0] = fpart
+
+        @pl.when(i > 0)
+        def _acc():
+            g_acc[:] = g_acc[:] + gpart
+            f_acc[0, 0] = f_acc[0, 0] + fpart
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _out():
+            g_ref[:] = g_acc[:]
+            f_ref[0, 0] = f_acc[0, 0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("loss_elem", "interpret"))
+def fused_pointwise_gradmap(A, x, data, loss_elem, interpret: bool = False):
+    """One-pass (d, f, Aᵀℓ′(d)) for f(x) = Σᵢ ℓ((Ax)ᵢ; dataᵢ) — the
+    streaming analog of ``sharding.sharded_pointwise_gradmap``: logistic,
+    squared hinge, and any future pointwise loss read A ONCE per
+    gradient evaluation (bf16 storage halves the bytes again).
+
+    ``data`` is a tuple of (m,) measurement-space arrays;
+    ``loss_elem(d_tile, *data_tiles) -> (ℓ, ℓ′)`` elementwise.
+    """
+    m, n = A.shape
+    itemsize = jnp.dtype(A.dtype).itemsize
+    m_pad = _pad128(m)
+    tm = _row_tile(m_pad, n, itemsize)
+    x = x.astype(jnp.float32)
+    data = tuple(jnp.asarray(v, jnp.float32) for v in data)
+    masked = m_pad != m
+    if masked:
+        A = jnp.pad(A, ((0, m_pad - m), (0, 0)))
+        data = tuple(jnp.pad(v, (0, m_pad - m)) for v in data)
+    x2 = x.reshape(1, n)
+    cols = [v.reshape(m_pad, 1) for v in data]
+    tile_col = lambda: pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    operands = [x2]
+    in_specs = [pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    if masked:
+        mask = jnp.pad(jnp.ones((m, 1), jnp.float32),
+                       ((0, m_pad - m), (0, 0)))
+        operands.append(mask)
+        in_specs.append(tile_col())
+    operands += cols
+    in_specs += [tile_col() for _ in cols]
+    operands.append(A)
+    in_specs.append(pl.BlockSpec((tm, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+
+    kern = _make_kernel_pointwise(loss_elem, len(cols), masked)
+    d, f, g = pl.pallas_call(
+        kern,
+        grid=(m_pad // tm,),
+        in_specs=in_specs,
+        out_specs=[
+            tile_col(),                                   # d tile
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),        # f accumulator
+            pl.BlockSpec((1, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),        # g accumulator
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * n,
+            bytes_accessed=m_pad * n * itemsize + (2 * m_pad + 2 * n) * 4,
+            transcendentals=2 * m_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                24 << 20,
+                int(2.5 * tm * n * itemsize) + tm * n * 4 + (8 << 20)),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return d.reshape(m_pad)[:m], f[0, 0], g.reshape(n)
 
 
 @functools.partial(jax.jit,

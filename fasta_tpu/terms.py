@@ -215,7 +215,12 @@ class Logistic(SmoothTerm):
                             + jnp.log1p(jnp.exp(-jnp.abs(d))) - b * d)
                 return f, 1.0 / (1.0 + jnp.exp(-d)) - b
             return sharded_pointwise_gradmap(op, loss_local, self.b)
-        return None
+
+        def loss_elem(d, b):
+            ell = (jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
+                   - b * d)
+            return ell, 1.0 / (1.0 + jnp.exp(-d)) - b
+        return _streaming_pointwise(op, (self.b,), loss_elem)
 
     def tree_flatten(self):
         return (self.b,), None
@@ -223,6 +228,26 @@ class Logistic(SmoothTerm):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0])
+
+
+def _streaming_pointwise(op, data, loss_elem):
+    """Route a pointwise smooth term onto the one-pass streaming kernel
+    when the operator is a plain dense/bf16 matrix in the HBM-streaming
+    regime (kernels.lstsq_fused.fused_pointwise_gradmap) — A is read
+    ONCE per gradient evaluation instead of twice."""
+    from .kernels import supports_fusion
+    from .kernels.lstsq_fused import fused_pointwise_gradmap
+    from .operators import DenseOp, LowPrecDenseOp
+    if not isinstance(op, (DenseOp, LowPrecDenseOp)):
+        return None
+    A = op.A
+    if (A.ndim != 2 or jnp.issubdtype(A.dtype, jnp.complexfloating)
+            or any(jnp.asarray(v).ndim != 1 for v in data)):
+        return None
+    m, n = A.shape
+    if not supports_fusion(m, n, A.dtype):
+        return None
+    return lambda x: fused_pointwise_gradmap(A, x, data, loss_elem)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -367,7 +392,11 @@ class SquaredHinge(SmoothTerm):
                 r = jnp.maximum(0.0, 1.0 - y * d)
                 return 0.5 * jnp.sum(r * r), -y * r
             return sharded_pointwise_gradmap(op, loss_local, self.y)
-        return None
+
+        def loss_elem(d, y):
+            r = jnp.maximum(0.0, 1.0 - y * d)
+            return 0.5 * r * r, -y * r
+        return _streaming_pointwise(op, (self.y,), loss_elem)
 
     def tree_flatten(self):
         return (self.y,), None

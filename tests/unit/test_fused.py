@@ -110,3 +110,61 @@ def test_lowprec_op_fuses_only_in_streaming_regime(monkeypatch):
     assert term.fused_gradmap(op) is None
     monkeypatch.delenv("FASTA_TPU_PALLAS", raising=False)
     assert term.fused_gradmap(op) is None   # auto: VMEM-resident size
+
+
+@pytest.mark.parametrize("m", [64, 100])   # 100 exercises the masked pad
+def test_fused_pointwise_logistic_interpret(m):
+    """Streaming pointwise kernel (logistic): one A-read (d, f, g) must
+    match the two-pass graph; padded rows are masked (logistic's
+    ell(0) != 0, so padding is only exact under the mask)."""
+    from fasta_tpu.kernels.lstsq_fused import fused_pointwise_gradmap
+    rng = np.random.default_rng(7)
+    n = 256
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.integers(0, 2, m), jnp.float32)
+
+    def loss_elem(d, b):
+        ell = (jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
+               - b * d)
+        return ell, 1.0 / (1.0 + jnp.exp(-d)) - b
+
+    d, f, g = fused_pointwise_gradmap(A, x, (b,), loss_elem,
+                                      interpret=True)
+    term = ft.Logistic(b)
+    d0 = A @ x
+    np.testing.assert_allclose(d, d0, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(f), float(term.value(d0)), rtol=1e-5)
+    np.testing.assert_allclose(g, A.T @ term.grad(d0), rtol=2e-4,
+                               atol=1e-5)
+
+
+def test_fused_pointwise_hinge_interpret():
+    from fasta_tpu.kernels.lstsq_fused import fused_pointwise_gradmap
+    rng = np.random.default_rng(8)
+    m, n = 100, 128
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)
+    y = jnp.asarray(rng.choice([-1.0, 1.0], m), jnp.float32)
+
+    def loss_elem(d, y):
+        r = jnp.maximum(0.0, 1.0 - y * d)
+        return 0.5 * r * r, -y * r
+
+    d, f, g = fused_pointwise_gradmap(A, x, (y,), loss_elem,
+                                      interpret=True)
+    term = ft.SquaredHinge(y)
+    d0 = A @ x
+    np.testing.assert_allclose(float(f), float(term.value(d0)), rtol=1e-5)
+    np.testing.assert_allclose(g, A.T @ term.grad(d0), rtol=2e-4,
+                               atol=1e-5)
+
+
+def test_pointwise_streaming_dispatch_gates():
+    """Logistic/SquaredHinge route to the streaming kernel only in the
+    (forced or auto) streaming regime on a TPU backend — never on CPU."""
+    b = jnp.zeros(64)
+    assert ft.Logistic(b).fused_gradmap(
+        ft.DenseOp(jnp.zeros((64, 128)))) is None
+    assert ft.SquaredHinge(b).fused_gradmap(
+        ft.DenseOp(jnp.zeros((64, 128)))) is None
