@@ -414,14 +414,16 @@ def fused_lstsq_gradmap(A, x, b, interpret: bool = False,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            # double-buffered A tile (+ its f32 upcast intermediate) +
-            # x/g/b/d rows + Mosaic stack headroom: measured scoped need
-            # at (128, 16384) f32 tiles is 22.92 MB vs the tile math's
-            # 20 MB — a bare 2.5× multiplier under-provisions and the
-            # kernel fails to compile on a cold cache (hit 2026-08-17)
-            vmem_limit_bytes=max(
-                24 << 20,
-                int(2.5 * tm * n * itemsize) + tm * n * 4 + (8 << 20)),
+            # double-buffered A tile + f32 intermediates (the MXU
+            # HIGHEST 6-pass path holds several tile-sized temporaries:
+            # measured scoped need 48.1 MB at (128, 16384) f32 — bare
+            # tile math under-provisions and the kernel fails to
+            # compile on a cold cache, hit twice on 2026-08-17) +
+            # x/g/b/d rows + Mosaic stack headroom, capped inside the
+            # 128 MB VMEM
+            vmem_limit_bytes=min(
+                100 << 20,
+                2 * tm * n * itemsize + 4 * tm * n * 4 + (12 << 20)),
         ),
         interpret=interpret,
     )(x2, b2, A)
