@@ -128,6 +128,10 @@ def supports_fusion(m: int, n: int, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     if mode == "auto" and m * n * itemsize <= _STREAMING_BYTES:
         return False
+    # a single (128, n) row tile must fit the double-buffered pipeline
+    # plus its f32 intermediates inside VMEM (~128 MB)
+    if 128 * n * (2 * itemsize + 4 * 4) > (100 << 20):
+        return False
     return (jax.default_backend() == "tpu"
             and dtype in (jnp.float32, jnp.bfloat16))
 
