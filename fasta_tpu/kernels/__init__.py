@@ -7,7 +7,8 @@ pass: one streaming read of A per solver iteration instead of two.
 """
 
 from .lstsq_fused import (
-    fused_lstsq_gradmap, lstsq_gradmap_reference, supports_fusion,
+    fused_lstsq_gradmap, fused_pointwise_gradmap, lstsq_gradmap_reference,
+    supports_fusion,
 )
 from .microsolver import microsolve_lasso, supports_microsolver
 from .microsolver_tv import microsolve_tv
@@ -15,7 +16,8 @@ from .prox_fused import fused_shrink_step, shrink_step_reference
 from .tv_fused import fused_tv_gradmap, tv_gradmap_reference
 
 __all__ = [
-    "fused_lstsq_gradmap", "lstsq_gradmap_reference", "supports_fusion",
+    "fused_lstsq_gradmap", "fused_pointwise_gradmap",
+    "lstsq_gradmap_reference", "supports_fusion",
     "fused_shrink_step", "shrink_step_reference", "fused_tv_gradmap",
     "tv_gradmap_reference", "microsolve_lasso", "supports_microsolver",
     "microsolve_tv",
