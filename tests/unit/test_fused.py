@@ -113,14 +113,20 @@ def test_lowprec_op_fuses_only_in_streaming_regime(monkeypatch):
 
 
 @pytest.mark.parametrize("m", [64, 100])   # 100 exercises the masked pad
-def test_fused_pointwise_logistic_interpret(m):
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_pointwise_logistic_interpret(m, dtype):
     """Streaming pointwise kernel (logistic): one A-read (d, f, g) must
     match the two-pass graph; padded rows are masked (logistic's
-    ell(0) != 0, so padding is only exact under the mask)."""
+    ell(0) != 0, so padding is only exact under the mask); bf16 storage
+    upcasts in-kernel."""
     from fasta_tpu.kernels.lstsq_fused import fused_pointwise_gradmap
     rng = np.random.default_rng(7)
     n = 256
-    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    # round-trip through bf16 so the stored value is exact in BOTH
+    # dtypes — the f32 reference then sees identical matrix values
+    A32 = jnp.asarray(rng.standard_normal((m, n)),
+                      jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+    A = A32.astype(dtype)
     x = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)
     b = jnp.asarray(rng.integers(0, 2, m), jnp.float32)
 
@@ -132,10 +138,10 @@ def test_fused_pointwise_logistic_interpret(m):
     d, f, g = fused_pointwise_gradmap(A, x, (b,), loss_elem,
                                       interpret=True)
     term = ft.Logistic(b)
-    d0 = A @ x
+    d0 = A32 @ x
     np.testing.assert_allclose(d, d0, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(f), float(term.value(d0)), rtol=1e-5)
-    np.testing.assert_allclose(g, A.T @ term.grad(d0), rtol=2e-4,
+    np.testing.assert_allclose(g, A32.T @ term.grad(d0), rtol=2e-4,
                                atol=1e-5)
 
 
