@@ -116,16 +116,19 @@ def test_sharded_sparse_scalar_sequence_identity():
 
 # ------------------------------------------------- TV halo exchange --
 
-def test_row_sharded_tv_op_bitmatch():
+@pytest.mark.parametrize("hw", [(64, 32), (80, 24), (8, 200)])
+def test_row_sharded_tv_op_bitmatch(hw):
     """Halo-exchange stencil ≡ the unsharded ScaledOp(TVDiv2D) bit-for-
     bit on both legs (the halo rows are the exact neighbor values and
-    ppermute zero-fill IS the Neumann boundary term)."""
+    ppermute zero-fill IS the Neumann boundary term).  (8, 200) gives
+    every device exactly ONE image row — all vertical differences cross
+    device boundaries."""
     from fasta_tpu.operators import ScaledOp, TVDiv2D
     mesh = sh.make_mesh()
     rng = np.random.default_rng(5)
     mu = 0.1
-    p = jnp.asarray(rng.standard_normal((2, 64, 32)))
-    y = jnp.asarray(rng.standard_normal((64, 32)))
+    p = jnp.asarray(rng.standard_normal((2,) + hw))
+    y = jnp.asarray(rng.standard_normal(hw))
     ref = ScaledOp(mu, TVDiv2D())
     op = sh.RowShardedTVDivOp(mu, mesh)
     np.testing.assert_array_equal(np.asarray(op(p)), np.asarray(ref(p)))
