@@ -108,10 +108,13 @@ def _allreduce_time(S, N):
 
 
 def _halo_time(S, N):
-    """Point-to-point neighbor exchange: one hop, latency-dominated."""
+    """Point-to-point neighbor exchange: the TV gradmap runs its two
+    stencil legs SEQUENTIALLY (forward halo, then adjoint halo on the
+    residual), so per gradmap the path pays two dependent hops of S/2
+    bytes each — latency-dominated at image-row sizes."""
     if N == 1:
         return 0.0
-    return S / _ICI_BW + _ICI_LAT
+    return 2 * ((S / 2) / _ICI_BW + _ICI_LAT)
 
 
 def model():

@@ -321,11 +321,33 @@ def _dd_sum_flat(hi, lo) -> DD:
     return _reduce_dd_sum(hi, lo)
 
 
+def _dd_collapse_last(p, e):
+    """dd-reduce the TRAILING axis of n-D part arrays (one ``lax.reduce``
+    with the compensated combiner).  Sharding rationale: GSPMD cannot
+    partition a custom-combiner reduce — raveling a sharded multi-axis
+    array (e.g. the TV dual field, (2,H,W) sharded on H) therefore
+    ALL-GATHERS the full operand.  Collapsing the (unsharded) trailing
+    axis first runs device-local, and only the tiny per-row partials
+    are gathered by the final reduction (measured: 4 KB vs 4 MB at
+    512² — the gather shape shrinks by W)."""
+    import jax
+
+    def comb(a, v):
+        s = dd_add(DD(a[0], a[1]), DD(v[0], v[1]))
+        return (s.hi, s.lo)
+
+    z = (jnp.zeros((), p.dtype), jnp.zeros((), p.dtype))
+    return jax.lax.reduce((p, e), z, comb, (p.ndim - 1,))
+
+
 def dot_parts(a, b):
     """Elementwise double-word contributions of Re⟨a,b⟩ (the Dot2
     transform WITHOUT the final reduction): 1-D ``(hi, lo)`` arrays whose
     dd-sum equals ``dot_dd(a, b)``.  Complex inputs contribute their
-    real and imaginary channels as concatenated real parts."""
+    real and imaginary channels as concatenated real parts.  Multi-axis
+    inputs are pre-collapsed along the trailing axis (exact dd partial
+    sums — see ``_dd_collapse_last`` for the sharding rationale); 1-D
+    inputs take the original single-reduction path unchanged."""
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if jnp.issubdtype(a.dtype, jnp.complexfloating) or \
@@ -333,9 +355,13 @@ def dot_parts(a, b):
         pr, er = dot_parts(jnp.real(a), jnp.real(b))
         pi, ei = dot_parts(jnp.imag(a), jnp.imag(b))
         return (jnp.concatenate([pr, pi]), jnp.concatenate([er, ei]))
-    a = _as_real32(jnp.ravel(a))
-    b = _as_real32(jnp.ravel(b))
-    return two_prod(a, b)
+    a = _as_real32(a)
+    b = _as_real32(b)
+    if a.ndim >= 2:
+        p, e = two_prod(a, b)
+        p, e = _dd_collapse_last(p, e)
+        return jnp.ravel(p), jnp.ravel(e)
+    return two_prod(jnp.ravel(a), jnp.ravel(b))
 
 
 def reduce_dd_many(parts):
@@ -388,8 +414,14 @@ def _as_real32(a):
 
 
 def sum_dd(x) -> DD:
-    """Σxᵢ with double-word accumulation (error ≈ n·2⁻⁴⁸ relative)."""
-    x = _as_real32(jnp.ravel(jnp.asarray(x)))
+    """Σxᵢ with double-word accumulation (error ≈ n·2⁻⁴⁸ relative).
+    Multi-axis inputs pre-collapse the trailing axis (sharding
+    rationale in ``_dd_collapse_last``)."""
+    x = _as_real32(jnp.asarray(x))
+    if x.ndim >= 2:
+        p, e = _dd_collapse_last(x, jnp.zeros_like(x))
+        return _dd_sum_flat(jnp.ravel(p), jnp.ravel(e))
+    x = jnp.ravel(x)
     return _dd_sum_flat(x, jnp.zeros_like(x))
 
 
@@ -404,9 +436,7 @@ def dot_dd(a, b) -> DD:
         re = dot_dd(jnp.real(a), jnp.real(b))
         im = dot_dd(jnp.imag(a), jnp.imag(b))
         return dd_add(re, im)
-    a = _as_real32(jnp.ravel(a))
-    b = _as_real32(jnp.ravel(b))
-    p, e = two_prod(a, b)
+    p, e = dot_parts(a, b)
     return _dd_sum_flat(p, e)
 
 

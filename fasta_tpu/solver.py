@@ -567,6 +567,18 @@ def _make_solve_fn(opts: FastaOptions):
 _SOLVER_CACHE: dict = {}
 
 
+def _cache_key(opts: FastaOptions):
+    """Executable-cache key: options + every env var read at trace time
+    (the Pallas opt-in and dd-impl selectors are consulted inside
+    fused_gradmap/precision during tracing — they must key EVERY cache
+    of a traced solver, or toggling them would silently reuse the other
+    path's executable).  Single source of truth for make_solver and
+    solve_path."""
+    import os
+    return (opts, os.environ.get("FASTA_TPU_PALLAS", "auto"),
+            os.environ.get("FASTA_TPU_DD_IMPL", "reduce"))
+
+
 def make_solver(opts: FastaOptions):
     """Return the jit-compiled
     ``solve(op, fterm, gterm, x0, tau0) -> DeviceResult``.
@@ -575,12 +587,7 @@ def make_solver(opts: FastaOptions):
     and array shapes/structures — the operator and both objective terms
     are pytree arguments, not trace constants.
     """
-    import os
-    # the Pallas opt-in env var is read at trace time inside
-    # fused_gradmap — it must key the cache or toggling it would silently
-    # reuse the other path's executable
-    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "auto"),
-           os.environ.get("FASTA_TPU_DD_IMPL", "reduce"))
+    key = _cache_key(opts)
     fn = _SOLVER_CACHE.get(key)
     if fn is None:
         fn = jax.jit(_make_solve_fn(opts))
@@ -638,10 +645,8 @@ def solve_path(op, fterm, gterms, x0, tau0,
     the hybrid rule).  For paths, prefer ``residual`` /
     ``normalized_residual`` or interpret per-μ counts accordingly.
     """
-    import os
     opts = opts or FastaOptions()
-    key = (opts, os.environ.get("FASTA_TPU_PALLAS", "auto"),
-           os.environ.get("FASTA_TPU_DD_IMPL", "reduce"))
+    key = _cache_key(opts)
     path_fn = _PATH_CACHE.get(key)
     if path_fn is None:
         fn = _make_solve_fn(opts)

@@ -210,17 +210,9 @@ class Logistic(SmoothTerm):
         from .sharding import (RowShardedDenseOp,
                                sharded_pointwise_gradmap)
         if isinstance(op, RowShardedDenseOp):
-            def loss_local(d, b):
-                f = jnp.sum(jnp.maximum(d, 0.0)
-                            + jnp.log1p(jnp.exp(-jnp.abs(d))) - b * d)
-                return f, 1.0 / (1.0 + jnp.exp(-d)) - b
-            return sharded_pointwise_gradmap(op, loss_local, self.b)
-
-        def loss_elem(d, b):
-            ell = (jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
-                   - b * d)
-            return ell, 1.0 / (1.0 + jnp.exp(-d)) - b
-        return _streaming_pointwise(op, (self.b,), loss_elem)
+            return sharded_pointwise_gradmap(op, _sum_of(_logistic_elem),
+                                             self.b)
+        return _streaming_pointwise(op, (self.b,), _logistic_elem)
 
     def tree_flatten(self):
         return (self.b,), None
@@ -228,6 +220,30 @@ class Logistic(SmoothTerm):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0])
+
+
+def _logistic_elem(d, b):
+    """Elementwise (ℓ, ℓ′) of the stable logistic loss — single source
+    for the sharded AND streaming fused paths.  Module-level so the
+    streaming kernel's jit (which keys on the callable's identity) hits
+    its cache across solver builds."""
+    ell = (jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d))) - b * d)
+    return ell, 1.0 / (1.0 + jnp.exp(-d)) - b
+
+
+def _hinge_elem(d, y):
+    """Elementwise (ℓ, ℓ′) of the squared hinge (labels ±1)."""
+    r = jnp.maximum(0.0, 1.0 - y * d)
+    return 0.5 * r * r, -y * r
+
+
+def _sum_of(loss_elem):
+    """Adapt an elementwise (ℓ, ℓ′) loss to the sharded gradmap's
+    (Σℓ, ℓ′) contract."""
+    def loss_local(d, *data):
+        ell, dl = loss_elem(d, *data)
+        return jnp.sum(ell), dl
+    return loss_local
 
 
 def _streaming_pointwise(op, data, loss_elem):
@@ -388,15 +404,9 @@ class SquaredHinge(SmoothTerm):
         from .sharding import (RowShardedDenseOp,
                                sharded_pointwise_gradmap)
         if isinstance(op, RowShardedDenseOp):
-            def loss_local(d, y):
-                r = jnp.maximum(0.0, 1.0 - y * d)
-                return 0.5 * jnp.sum(r * r), -y * r
-            return sharded_pointwise_gradmap(op, loss_local, self.y)
-
-        def loss_elem(d, y):
-            r = jnp.maximum(0.0, 1.0 - y * d)
-            return 0.5 * r * r, -y * r
-        return _streaming_pointwise(op, (self.y,), loss_elem)
+            return sharded_pointwise_gradmap(op, _sum_of(_hinge_elem),
+                                             self.y)
+        return _streaming_pointwise(op, (self.y,), _hinge_elem)
 
     def tree_flatten(self):
         return (self.y,), None

@@ -130,6 +130,27 @@ def test_tv_halo_accel_collective_budget():
     assert _permutes(txt) == 6
 
 
+def test_tv_halo_f32_hp_never_gathers_dual():
+    """DEFAULT dtype (f32 → hp double-word decision scalars): the dd
+    reductions must never all-gather the sharded dual field.  GSPMD
+    cannot partition a custom-combiner reduce, so precision.py
+    pre-collapses the trailing axis device-locally — only per-row
+    partials (a few bytes per shard) are gathered."""
+    prob = problems.build("tv", h=64, w=64, dtype=jnp.float32)
+    mesh = sh.make_mesh()
+    sp = sh.shard_problem(prob, mesh)
+    fn = make_solver(FastaOptions(max_iters=50))
+    txt = fn.lower(sp.op, sp.fterm, sp.gterm, jnp.asarray(sp.x0),
+                   jnp.asarray(2.0, jnp.float32)).compile().as_text()
+    # the only gathered results are tiny per-shard partial rows — the
+    # (2, 64, 64) dual field itself must never appear in a gather
+    for ln in txt.splitlines():
+        if " all-gather(" in ln:
+            m = re.search(r"= (f32\[[0-9,]*\])", ln)
+            assert m and m.group(1) in ("f32[8]", "f32[16]", "f32[64]",
+                                        "f32[2,64]"), ln.strip()[:120]
+
+
 def test_partitioned_shapes_present():
     """The compiled module must hold per-device shards (m/8 rows), not
     the full matrix."""
