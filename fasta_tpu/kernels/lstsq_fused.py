@@ -96,10 +96,11 @@ def pallas_mode() -> str:
 
     "1" → on everywhere supported; "0" → off; unset/"auto" → on only in
     the HBM-streaming regime (A beyond VMEM residency), where the
-    one-read pass measured ≥ XLA's two-pass wall time (1.22× on v5e,
-    2026-08-17; 1.0× tie at round-1's backend state) — and off at
-    VMEM-resident sizes, where the XLA loop already runs at ~95% of the
-    in-kernel two-pass floor and the single-row GEMV kernel loses."""
+    one-read pass measured 3.2× XLA's two-pass gradmap / 1.78× the full
+    solve (RTT-amortized, 2026-08-17) — and off at VMEM-resident sizes,
+    where XLA sits near the in-kernel per-pass rate and the single-row
+    GEMV kernel loses (the whole-solve MICROsolver wins there instead,
+    via the explicit `fasta_tpu.microsolve` dispatch)."""
     v = os.environ.get("FASTA_TPU_PALLAS", "auto")
     return {"1": "on", "0": "off"}.get(v, "auto")
 
