@@ -210,3 +210,32 @@ def test_blocked2_accuracy():
     p, e = prec.two_prod(jnp.asarray(a), jnp.asarray(b))
     got = prec.dd_to_float(prec._blocked2_dd_sum(p, e))
     assert _ulps(got, ref) <= 4.0
+
+
+def test_multiaxis_dd_matches_float64():
+    """Multi-axis inputs pre-collapse their trailing axis (one dd
+    reduction per row, device-local under sharding) — the value must
+    stay at dd accuracy vs a float64 reference, and 1-D inputs must be
+    BIT-identical to the pre-change single-reduction path."""
+    rng = np.random.default_rng(11)
+    a3 = jnp.asarray(rng.standard_normal((2, 48, 96)) * 1e3, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((2, 48, 96)), jnp.float32)
+    ref = float(np.vdot(np.asarray(a3, np.float64),
+                        np.asarray(b3, np.float64)))
+    got = prec.dd_to_float(prec.dot_dd(a3, b3))
+    assert abs(got - ref) / abs(ref) < 1e-6
+
+    s_ref = float(np.asarray(a3, np.float64).sum())
+    s_got = prec.dd_to_float(prec.sum_dd(a3))
+    assert abs(s_got - s_ref) / abs(s_ref) < 1e-6
+
+    # 1-D path unchanged: dot_parts on the raveled input is the
+    # original elementwise transform (no collapse)
+    p, e = prec.dot_parts(jnp.ravel(a3), jnp.ravel(b3))
+    assert p.shape == (2 * 48 * 96,)
+    p2, e2 = prec.dot_parts(a3, b3)
+    assert p2.shape == (2 * 48,)      # collapsed to per-row partials
+    v1 = prec.dd_to_float(prec._dd_sum_flat(p, e))
+    v2 = prec.dd_to_float(prec._dd_sum_flat(p2, e2))
+    assert abs(v1 - ref) / abs(ref) < 1e-6
+    assert abs(v2 - ref) / abs(ref) < 1e-6
