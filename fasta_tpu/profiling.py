@@ -43,27 +43,42 @@ def trace(logdir: str = "/tmp/fasta_tpu_trace"):
         jax.profiler.stop_trace()
 
 
-def time_blocking(fn, *args, repeats: int = 3, warmup: int = 1) -> float:
+def time_blocking(fn, *args, repeats: int = 3, warmup: int = 1,
+                  subtract_barrier: bool = True) -> float:
     """Best wall time of ``fn(*args)`` with a HOST-READBACK completion
     barrier: a scalar reduced from the output is fetched to the host
     each repetition.  On remote/tunneled backends ``block_until_ready``
     returns at dispatch time, which silently produces impossible timings
-    — always time through this helper."""
+    — always time through this helper.
+
+    The barrier itself costs one tunnel round trip (measured 1–28 ms
+    depending on the day — docs/PERF.md methodology); by default its
+    cost is measured on the warm result (a FRESH ``jnp.sum`` each
+    probe) and subtracted, so the returned wall is compute, not network
+    latency."""
     import jax.numpy as jnp
 
     def run():
         out = fn(*args)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        return float(jnp.real(jnp.sum(leaf)))
+        return leaf, float(jnp.real(jnp.sum(leaf)))
 
-    for _ in range(warmup):
-        run()
+    leaf = None
+    for _ in range(max(warmup, 1)):
+        leaf, _ = run()
+    barrier = 0.0
+    if subtract_barrier:
+        barrier = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(jnp.real(jnp.sum(leaf)))
+            barrier = min(barrier, time.perf_counter() - t0)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
-    return best
+    return max(best - barrier, 1e-12)
 
 
 def _chip_roofline() -> Optional[float]:
