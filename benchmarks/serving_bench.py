@@ -1,0 +1,111 @@
+"""Serving-regime benchmark — batch vs single-solve crossovers (TV).
+
+Reproduces the BENCH_RESULTS.md "Serving throughput" table: for each
+workload the best path among the XLA hp loop, the whole-solve
+microsolver (adaptive + FISTA) and the vmapped batch solver, all
+readback-barrier-subtracted (docs/PERF.md methodology).
+
+Run on the TPU:  python benchmarks/serving_bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def _rtt():
+    """Per-readback round trip, probed with FRESH tiny dispatches
+    (float() of the same array is cached host-side and measures 0)."""
+    tiny = jax.jit(lambda i: jnp.sum(jnp.zeros(8) + i))
+    float(tiny(0))
+    best = 1e9
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        float(tiny(i))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _timed(fn, barrier, repeats=3):
+    out = fn()
+    float(jnp.sum(out.taus if hasattr(out, "taus") else out))
+    best = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        float(jnp.sum(out.taus if hasattr(out, "taus") else out))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - barrier, 1e-9), out
+
+
+def main():
+    import problems
+    from fasta_tpu import FastaOptions, make_batch_solver, make_solver
+    from fasta_tpu.kernels.microsolver_tv import microsolve_tv
+    from fasta_tpu.terms import LeastSquares
+
+    quick = "--quick" in sys.argv
+    rtt = _rtt()
+    print(f"# readback barrier: {rtt*1e3:.1f} ms (subtracted below)")
+    tau0 = jnp.asarray(2.0, jnp.float32)
+
+    for hw, nbatch in ((64, 16 if quick else 64),
+                       (512, 2 if quick else 8)):
+        probs = [problems.build("tv", h=hw, w=hw, seed=4 + i)
+                 for i in range(nbatch)]
+        bs = jnp.stack([p.fterm.b for p in probs])
+        x0s = jnp.stack([jnp.asarray(p.x0) for p in probs])
+        op, gt = probs[0].op, probs[0].gterm
+        mi = 4000 if hw == 512 else 2000
+        opts = FastaOptions(max_iters=mi, tol=1e-5)
+
+        solve = make_solver(opts)
+        w, o = _timed(lambda: solve(op, probs[0].fterm, gt, x0s[0], tau0),
+                      rtt)
+        print(f"tv{hw} single XLA hp loop: {w*1e3:8.1f} ms "
+              f"({int(o.iteration_count)} iters)")
+
+        ti = probs[0].instance
+        bb = jnp.asarray(ti["b"], jnp.float32)
+        p0 = jnp.asarray(ti["x0"], jnp.float32)
+        for accel, label in ((False, "adaptive"), (True, "FISTA")):
+            def run(accel=accel):
+                _p, _t, _r, kk, _c = microsolve_tv(
+                    bb, p0, 2.0, ti["mu"], max_iters=mi, tol=1e-5,
+                    hp=True, accelerate=accel)
+                return kk
+            k = int(run())
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run())
+                best = min(best, time.perf_counter() - t0)
+            print(f"tv{hw} single microsolver {label}: "
+                  f"{max(best-rtt,0)*1e3:8.1f} ms ({k} iters)")
+
+        batch = make_batch_solver(
+            opts, in_axes=(None, LeastSquares(0), None, 0, None))
+        w, o = _timed(lambda: batch(op, LeastSquares(bs), gt, x0s, tau0),
+                      rtt)
+        ks = np.asarray(o.iteration_count)
+        print(f"tv{hw} batch x{nbatch} vmapped solver: {w*1e3:8.1f} ms = "
+              f"{w/nbatch*1e3:6.2f} ms/image ({nbatch/w:5.0f} images/s); "
+              f"iters {ks.min()}..{ks.max()}, "
+              f"converged={bool(np.all(np.asarray(o.converged)))}")
+
+
+if __name__ == "__main__":
+    main()
