@@ -239,3 +239,18 @@ def test_multiaxis_dd_matches_float64():
     v2 = prec.dd_to_float(prec._dd_sum_flat(p2, e2))
     assert abs(v1 - ref) / abs(ref) < 1e-6
     assert abs(v2 - ref) / abs(ref) < 1e-6
+
+
+@pytest.mark.parametrize("impl", ["reduce", "tree", "blocked", "blocked2",
+                                  "f64"])
+def test_dd_impl_variants_agree(impl, monkeypatch):
+    """Every FASTA_TPU_DD_IMPL selection must hit the same dd accuracy
+    band on an adversarial cancellation stream (different association
+    orders — values agree to a couple of f32 ulps, not bitwise)."""
+    monkeypatch.setenv("FASTA_TPU_DD_IMPL", impl)
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(rng.standard_normal(4096) * 1e4, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    ref = float(np.vdot(np.asarray(a, np.float64), np.asarray(b, np.float64)))
+    got = prec.dd_to_float(prec.dot_dd(a, b))
+    assert _ulps(np.float32(got), ref) <= 4.0, (impl, got, ref)
