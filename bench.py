@@ -7,6 +7,16 @@ over the float64 NumPy oracle running the same instance on this host's
 CPU — the reference implementation's measured rate (BASELINE.md: the
 oracle run *is* the baseline; the upstream publishes no numbers).
 
+RTT robustness (round-3 VERDICT item 1): every readback through the
+tunneled TPU costs one round trip (measured 1–28 ms depending on the
+day), so the measured solve chains 20k iterations per readback — at the
+~44k it/s headline rate that is ~0.45 s of net wall, keeping the
+subtracted barrier under 10% even on a bad-RTT day.  The detail line
+prints the barrier fraction so the margin is auditable.  Before
+measuring, a bounded relay-recovery probe retries a trivial dispatch in
+a subprocess for up to ~5 minutes — a transient tunnel outage delays
+the benchmark instead of zeroing the round.
+
 Usage:  python bench.py            # full benchmark (TPU if available)
         python bench.py --quick    # reduced iteration counts (smoke)
         python bench.py --large    # HBM-bound config (512 MB operand):
@@ -17,22 +27,66 @@ Usage:  python bench.py            # full benchmark (TPU if available)
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+METRIC = "lasso_1000x2000_adaptive_iters_per_sec"
 
-# persistent compile cache: repeat runs (and driver round-end runs)
-# skip the slow tunnel recompiles
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# FASTA_BENCH_PLATFORM overrides the backend (e.g. "cpu" to smoke-test
+# the harness logic off-TPU).  Must go through jax.config: the image's
+# sitecustomize rewrites jax_platforms to "axon,cpu" in every process,
+# ignoring the JAX_PLATFORMS env var (CLAUDE.md).
+_PLATFORM = os.environ.get("FASTA_BENCH_PLATFORM", "")
+
+
+def _apply_platform():
+    if _PLATFORM:
+        import jax
+        jax.config.update("jax_platforms", _PLATFORM)
+
+
+_PROBE = ("import os, jax; "
+          "p = os.environ.get('FASTA_BENCH_PLATFORM', ''); "
+          "p and jax.config.update('jax_platforms', p); "
+          "import jax.numpy as jnp; "
+          "x = jnp.ones((128,128), jnp.float32); "
+          "print(float((x@x).sum()))")
+
+
+def wait_for_backend(total_budget_s: float = 300.0,
+                     attempt_timeout_s: float = 75.0) -> bool:
+    """Bounded relay-recovery probe: retry a trivial dispatch in a
+    SUBPROCESS (a wedged in-process backend cannot be un-wedged) until
+    it answers or the budget runs out.  The first attempt's timeout
+    covers a cold XLA compile through the tunnel (~20–40 s)."""
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        budget = min(attempt_timeout_s, max(deadline - time.monotonic(), 5))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE], timeout=budget,
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend probe recovered on attempt {attempt}",
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend probe attempt {attempt} failed; retrying "
+              f"({deadline - time.monotonic():.0f}s budget left)",
+              file=sys.stderr)
+        time.sleep(min(20, max(deadline - time.monotonic(), 0)))
+    return False
 
 
 def bench_tpu(prob, opts, tau0: float, repeats: int = 3):
+    import jax.numpy as jnp
+
     from fasta_tpu import make_solver
 
     solve = make_solver(opts)
@@ -47,10 +101,10 @@ def bench_tpu(prob, opts, tau0: float, repeats: int = 3):
         return out, float(jnp.sum(out.taus))
 
     warm, _ = run_blocking()             # warmup / compile
-    # The barrier itself costs one tunnel round trip (measured 1–28 ms
-    # depending on the day's tunnel state) — time it on the already-
-    # materialized warm result and subtract it, so the metric is solver
-    # time, not network latency.
+    # The barrier itself costs one tunnel round trip — time it on the
+    # already-materialized warm result and subtract it, so the metric is
+    # solver time, not network latency.  The solve chains enough
+    # iterations per readback that the barrier stays <10% of net wall.
     barrier = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -79,36 +133,61 @@ def bench_oracle(inst, tau0: float, iters: int):
 def main():
     quick = "--quick" in sys.argv
     large = "--large" in sys.argv
+
+    if not wait_for_backend(30.0 if quick else 240.0):
+        _fail_record("backend probe never recovered within the retry "
+                     "budget (relay down)")
+
+    import jax
+    _apply_platform()
+    import jax.numpy as jnp
+
+    # persistent compile cache: repeat runs (and driver round-end runs)
+    # skip the slow tunnel recompiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import problems
     from fasta_tpu import FastaOptions
 
     if large:
         # 8192x16384 f32 = 512 MB: far beyond VMEM, exercises true HBM
         # streaming (where the fused Pallas pass halves traffic).
-        # 200 iters so the tunnel's per-readback RTT (measured up to
-        # ~28 ms) stays a small fraction of the wall.
-        iters = 200
+        # 2000 iters/readback ≈ 1.8 s net wall at the measured rate:
+        # the per-readback RTT stays ≪10% of the wall.
+        iters = 2000
         oracle_iters = 5
         prob = problems.build("lasso", m=8192, n=16384, k=400)
         metric = "lasso_8192x16384_adaptive_iters_per_sec"
     else:
-        iters = 100 if quick else 1000
+        # 20k iterations per readback ≈ 0.45 s net wall at the headline
+        # rate — a worst-day 28 ms barrier is ~6% of the measurement.
+        iters = 100 if quick else 20000
         oracle_iters = 50 if quick else 300
         prob = problems.build("lasso")        # BASELINE: 1000x2000
-        metric = "lasso_1000x2000_adaptive_iters_per_sec"
+        metric = METRIC
     tau0 = 0.05
     opts = FastaOptions(max_iters=iters, stop_rule="iterations",
                         adaptive=True, backtrack=True)
 
+    # Capture the Pallas streaming decision ONCE, before the solver is
+    # traced, and reuse it for the traffic estimate — the traced path
+    # and the report can't disagree (round-2 ADVICE finding).
+    m, n = prob.instance["A"].shape
+    from fasta_tpu.kernels.lstsq_fused import supports_fusion
+    fused_path = supports_fusion(m, n, jnp.float32)
+
     tpu_ips, best, barrier = bench_tpu(prob, opts, tau0)
     oracle_ips = bench_oracle(prob.instance, tau0, oracle_iters)
 
-    m, n = prob.instance["A"].shape
     # adaptive iteration = 2 streaming passes over A (fwd + adjoint-grad)
     # — or ONE when the fused one-pass kernel is active (auto at
     # streaming sizes)
-    from fasta_tpu.kernels.lstsq_fused import supports_fusion
-    passes = 1 if supports_fusion(m, n, jnp.float32) else 2
+    passes = 1 if fused_path else 2
     bytes_per_iter = passes * m * n * 4
     gbps = tpu_ips * bytes_per_iter / 1e9
 
@@ -119,40 +198,45 @@ def main():
         "vs_baseline": round(tpu_ips / oracle_ips, 2),
     }
     print(json.dumps(result))
-    print(f"# detail: net_wall={best:.4f}s for {iters} iters "
-          f"(readback barrier {barrier*1e3:.1f} ms subtracted); "
+    print(f"# detail: net_wall={best - barrier:.4f}s for {iters} iters; "
+          f"readback barrier {barrier*1e3:.1f} ms subtracted = "
+          f"{barrier / max(best, 1e-9) * 100:.1f}% of raw wall; "
           f"oracle={oracle_ips:.1f} it/s; matvec traffic "
-          f"{gbps:.1f} GB/s vs ~819 GB/s v5e HBM roofline",
+          f"{gbps:.1f} GB/s vs ~819 GB/s v5e HBM roofline "
+          f"({'one-pass fused' if fused_path else 'two-pass XLA'})",
           file=sys.stderr)
 
 
+def _fail_record(why: str):
+    print(json.dumps({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "iterations/s",
+        "vs_baseline": 0.0,
+    }))
+    print(f"# TPU benchmark aborted: {why} — the dev tunnel wedges "
+          "intermittently and its local relay can die outright; "
+          "measured results are recorded in BENCH_RESULTS.md and "
+          "BASELINE.md when the backend responds",
+          file=sys.stderr)
+    sys.stdout.flush()
+    os._exit(3)
+
+
 def _watchdog(seconds: int = 480):
-    """The tunneled TPU backend can wedge (hangs even trivial dispatches);
-    emit an explicit failure record instead of hanging the driver."""
+    """The tunneled TPU backend can wedge mid-run (hangs even trivial
+    dispatches); emit an explicit failure record instead of hanging the
+    driver.  The budget covers the 4-minute recovery probe + compiles +
+    the chained measurement (the round-2 driver tolerated 480 s)."""
     import signal
 
     def onalarm(signum, frame):
-        print(json.dumps({
-            "metric": "lasso_1000x2000_adaptive_iters_per_sec",
-            "value": 0.0,
-            "unit": "iterations/s",
-            "vs_baseline": 0.0,
-        }))
-        print("# TPU backend unresponsive after "
-              f"{seconds}s — benchmark aborted (the dev tunnel wedges "
-              "intermittently and its local relay can die outright; "
-              "measured results are recorded in BENCH_RESULTS.md and "
-              "BASELINE.md: 44.2k it/s barrier-subtracted on this "
-              "metric when the backend responds, 2026-08-17)",
-              file=sys.stderr)
-        sys.stdout.flush()
-        import os
-        os._exit(3)
+        _fail_record(f"TPU backend unresponsive after {seconds}s")
 
     signal.signal(signal.SIGALRM, onalarm)
     signal.alarm(seconds)
 
 
 if __name__ == "__main__":
-    _watchdog()
+    _watchdog(180 if "--quick" in sys.argv else 480)
     main()

@@ -53,7 +53,8 @@ def bench_oracle(prob, tau0, tol, max_iters=20000):
     return dict(iters=r.iteration_count, seconds=dt,
                 ips=r.iteration_count / dt, converged=bool(r.converged),
                 objective=float(r.objectives[-1]),
-                rel_err=prob.recovery_error(np.asarray(r.solution)))
+                rel_err=prob.recovery_error(np.asarray(r.solution),
+                                            recovered=True))
 
 
 def _readback_barrier(warm_out, repeats=3):
@@ -102,7 +103,8 @@ def bench_tpu(prob, tau0, tol, fixed_iters, repeats=3):
                 conv_iters=k, conv_seconds=dt,
                 converged=bool(out.converged),
                 objective=float(np.asarray(out.objectives)[k - 1]),
-                rel_err=prob.recovery_error(np.asarray(out.solution)))
+                rel_err=prob.recovery_error(np.asarray(out.solution),
+                                            recovered=False))
 
 
 def main():

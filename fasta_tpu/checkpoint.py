@@ -58,6 +58,12 @@ def load_pytree(example: Any, path: str) -> Any:
     flat, treedef = jax.tree_util.tree_flatten_with_path(example)
     want = [_path_key(p) for p, _ in flat]
     have = set(data.files)
+    if have == {f"leaf_{i}" for i in range(len(flat))}:
+        # legacy round-1 format: positional leaf_{i} keys.  Structure
+        # cannot be cross-checked beyond the leaf count; load in
+        # flatten order (the order save used then).
+        return jax.tree_util.tree_unflatten(
+            treedef, [data[f"leaf_{i}"] for i in range(len(flat))])
     if set(want) != have:
         missing = sorted(set(want) - have)
         extra = sorted(have - set(want))

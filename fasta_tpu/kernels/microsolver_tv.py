@@ -159,22 +159,18 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
         # the prox-point gradient for BB; accel: d1 for the affine
         # extrapolation).
 
-        def window_max(fwin_c, fwlo_c, f1):
-            """Nonmonotone window max M (+ hp backtracking slack).
+        def window_max(fwin_c, fwlo_c):
+            """Nonmonotone window max M.
 
             hp: max tiebreak on the lo channel resolves sub-ulp f
-            differences like the XLA path's dd_max; the slack term is
-            solver.py's — f32 STORAGE means the true f can genuinely
-            exceed the window by O(eps32)·scale."""
+            differences like the XLA path's dd_max."""
             if hp:
                 mhi = jnp.max(fwin_c)
                 mlo = jnp.max(jnp.where(fwin_c == mhi, fwlo_c, -jnp.inf))
-                slack = 1e-12 + (64.0 * 1.1920929e-07) \
-                    * (jnp.abs(mhi) + jnp.abs(prec.dd_to_float(f1)))
-                return prec.DD(mhi, mlo), slack
-            return jnp.max(fwin_c), None
+                return prec.DD(mhi, mlo)
+            return jnp.max(fwin_c)
 
-        def backtrack(fb, first, tau, gv_c, gh_c, M, slack):
+        def backtrack(fb, first, tau, gv_c, gh_c, M):
             """Zhang–Hager nonmonotone line search over fb trials."""
             def bt_cond(bc):
                 tau_b = bc[0]
@@ -182,6 +178,12 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                 cnt = bc[-1]
                 nd2 = jnp.sum(dv_b * dv_b) + jnp.sum(dh_b * dh_b)
                 if hp:
+                    # slack from the CURRENT trial's f1 (solver.py
+                    # bt_cond — f32 storage means the true f can exceed
+                    # the window by O(eps32)·scale)
+                    slack = 1e-12 + (64.0 * 1.1920929e-07) \
+                        * (jnp.abs(M.hi)
+                           + jnp.abs(prec.dd_to_float(f1_b)))
                     rdg = dd_dot2(dv_b, dh_b, gv_c, gh_c)
                     suff = prec.dd_add(M, prec.dd_add(
                         rdg, prec.dd(nd2 / (2.0 * tau_b))))
@@ -237,9 +239,9 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
 
                 tau = tau_c
                 first = fb(tau)
-                M, slack = window_max(fwin_c, fwlo_c, first[6])
+                M = window_max(fwin_c, fwlo_c)
                 (tau, zv, zh, xv, xh, dv, dh, f1, d1) = backtrack(
-                    fb, first, tau, gv_c, gh_c, M, slack)
+                    fb, first, tau, gv_c, gh_c, M)
 
                 _nd2, res, maxres, stop = resid_stop(
                     tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)
@@ -322,9 +324,9 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
 
             tau = tau_c
             first = fb(tau)
-            M, slack = window_max(fwin_c, fwlo_c, first[6])
+            M = window_max(fwin_c, fwlo_c)
             (tau, zv, zh, xv, xh, dv, dh, f1, gv1, gh1) = backtrack(
-                fb, first, tau, gv_c, gh_c, M, slack)
+                fb, first, tau, gv_c, gh_c, M)
 
             nd2, res, maxres, stop = resid_stop(
                 tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)

@@ -66,17 +66,25 @@ class Problem:
         """Copy with replaced fields (used by sharding placement)."""
         return replace(self, **kwargs)
 
-    def recovery_error(self, x) -> float:
+    def recovery_error(self, x, recovered: Optional[bool] = None) -> float:
         """Relative error vs the planted signal (phase-invariant for
-        complex problems: aligns the global phase first)."""
+        complex problems: aligns the global phase first).
+
+        ``recovered``: pass False for a SOLVER-layout iterate (``recover``
+        is applied when present), True for a signal-space vector (e.g.
+        the oracle's solution of a planar problem's native complex
+        formulation — ``recover`` is skipped).  The default ``None``
+        infers from the shape, which is only safe while every
+        ``recover`` changes the shape — callers that know which side
+        they hold should say so."""
         if self.x_true is None:
             return float("nan")
         x = np.asarray(x)
         xt = np.asarray(self.x_true)
-        # ``recover`` maps the SOLVER layout (e.g. planar (n,2) real) back
-        # to the signal space; skip it when x is already there (the oracle
-        # solves the native complex formulation of planar problems).
-        if self.recover is not None and x.shape != xt.shape:
+        apply = (self.recover is not None
+                 and (recovered is False
+                      or (recovered is None and x.shape != xt.shape)))
+        if apply:
             x = np.asarray(self.recover(x))
         if np.iscomplexobj(xt) or np.iscomplexobj(x):
             phase = np.vdot(x, xt)

@@ -41,6 +41,18 @@ def test_complex_pytree_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded["x"], r.solution)
 
 
+def test_load_legacy_positional_format(tmp_path):
+    """Round-1 checkpoints used positional leaf_{i} keys; the loader
+    falls back to flatten-order assignment for them (ADVICE r2)."""
+    src = {"a": np.arange(3.0), "b": np.ones((2, 2))}
+    flat, _ = __import__("jax").tree_util.tree_flatten(src)
+    p = str(tmp_path / "legacy.npz")
+    np.savez(p, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
+    out = ckpt.load_pytree({"a": np.zeros(3), "b": np.zeros((2, 2))}, p)
+    np.testing.assert_array_equal(out["a"], src["a"])
+    np.testing.assert_array_equal(out["b"], src["b"])
+
+
 def test_load_rejects_mismatched_structure(tmp_path):
     """A checkpoint keyed by tree paths must refuse to load into a
     different structure with the same leaf count (ADVICE r1: the old
