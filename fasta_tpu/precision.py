@@ -44,7 +44,7 @@ __all__ = [
     "DD", "dd", "two_sum", "fast_two_sum", "two_prod",
     "dd_add", "dd_sub", "dd_neg", "dd_scale", "dd_div", "dd_div_float",
     "dd_where", "dd_max", "dd_to_float", "sum_dd", "dot_dd", "norm2_dd",
-    "dot_parts", "reduce_dd_many",
+    "dot_parts", "sum_parts", "reduce_dd_many",
 ]
 
 
@@ -413,16 +413,24 @@ def _as_real32(a):
     return a
 
 
+def sum_parts(x):
+    """Elementwise double-word contributions of Σxᵢ — the pre-reduction
+    ``(hi, lo)`` 1-D streams of :func:`sum_dd` (same trailing-axis
+    pre-collapse for multi-axis inputs), for terms feeding the solver's
+    fused ``reduce_dd_many`` dispatch."""
+    x = _as_real32(jnp.asarray(x))
+    if x.ndim >= 2:
+        p, e = _dd_collapse_last(x, jnp.zeros_like(x))
+        return jnp.ravel(p), jnp.ravel(e)
+    x = jnp.ravel(x)
+    return x, jnp.zeros_like(x)
+
+
 def sum_dd(x) -> DD:
     """Σxᵢ with double-word accumulation (error ≈ n·2⁻⁴⁸ relative).
     Multi-axis inputs pre-collapse the trailing axis (sharding
     rationale in ``_dd_collapse_last``)."""
-    x = _as_real32(jnp.asarray(x))
-    if x.ndim >= 2:
-        p, e = _dd_collapse_last(x, jnp.zeros_like(x))
-        return _dd_sum_flat(jnp.ravel(p), jnp.ravel(e))
-    x = jnp.ravel(x)
-    return _dd_sum_flat(x, jnp.zeros_like(x))
+    return _dd_sum_flat(*sum_parts(x))
 
 
 def dot_dd(a, b) -> DD:

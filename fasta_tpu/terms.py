@@ -287,6 +287,12 @@ class MaskedLogistic(SmoothTerm):
             - self.Y * d
         return _p.sum_dd(self.mask * loss)
 
+    def value_parts(self, d):
+        from . import precision as _p
+        loss = jnp.maximum(d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d))) \
+            - self.Y * d
+        return _p.sum_parts(self.mask * loss)
+
     def grad(self, d):
         return self.mask * (1.0 / (1.0 + jnp.exp(-d)) - self.Y)
 
@@ -314,6 +320,13 @@ class PhaseHinge(SmoothTerm):
         from . import precision as _p
         r = jnp.maximum(jnp.abs(d) - self.b, 0.0)
         return _p.dd_scale(_p.norm2_dd(r), 0.5)
+
+    def value_parts(self, d):
+        from . import precision as _p
+        r = jnp.maximum(jnp.abs(d) - self.b, 0.0)   # real even for d ∈ ℂ
+        p, e = _p.dot_parts(r, r)
+        # exact: scaling a binary float by 0.5 never rounds
+        return 0.5 * p, 0.5 * e
 
     def grad(self, d):
         mag = jnp.abs(d)
@@ -359,6 +372,13 @@ class PlanarPhaseHinge(SmoothTerm):
         r = jnp.maximum(mag - self.b, 0.0)
         return _p.dd_scale(_p.norm2_dd(r), 0.5)
 
+    def value_parts(self, d):
+        from . import precision as _p
+        mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        r = jnp.maximum(mag - self.b, 0.0)
+        p, e = _p.dot_parts(r, r)
+        return 0.5 * p, 0.5 * e
+
     def grad(self, d):
         mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
         r = jnp.maximum(mag - self.b, 0.0)
@@ -395,6 +415,12 @@ class SquaredHinge(SmoothTerm):
         from . import precision as _p
         r = jnp.maximum(0.0, 1.0 - self.y * d)
         return _p.dd_scale(_p.norm2_dd(r), 0.5)
+
+    def value_parts(self, d):
+        from . import precision as _p
+        r = jnp.maximum(0.0, 1.0 - self.y * d)
+        p, e = _p.dot_parts(r, r)
+        return 0.5 * p, 0.5 * e
 
     def grad(self, d):
         r = jnp.maximum(0.0, 1.0 - self.y * d)
@@ -448,6 +474,12 @@ class NMFLoss(SmoothTerm):
     def value_dd(self, X):
         from . import precision as _p
         return _p.dd_scale(_p.norm2_dd(self._residual(X)), 0.5)
+
+    def value_parts(self, X):
+        from . import precision as _p
+        R = self._residual(X)
+        p, e = _p.dot_parts(R, R)
+        return 0.5 * p, 0.5 * e
 
     def grad(self, X):
         W, H = X[:self._d1], X[self._d1:]
