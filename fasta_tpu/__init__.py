@@ -29,8 +29,8 @@ from .operators import (
 )
 from .options import FastaOptions, STOP_RULES
 from .solver import (
-    fasta, solve, make_solver, make_batch_solver, solve_path,
-    estimate_stepsize,
+    fasta, solve, make_solver, make_stateful_solver, resume_state,
+    make_batch_solver, solve_path, estimate_stepsize,
     FastaResult, DeviceResult, SolverState, Diagnostics,
 )
 from . import precision
@@ -47,7 +47,8 @@ from .terms import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "fasta", "solve", "make_solver", "make_batch_solver", "solve_path",
+    "fasta", "solve", "make_solver", "make_stateful_solver",
+    "resume_state", "make_batch_solver", "solve_path",
     "estimate_stepsize", "FastaResult", "DeviceResult", "SolverState",
     "Diagnostics", "FastaOptions", "STOP_RULES", "LinearOp", "DenseOp",
     "IdentityOp", "FunctionOp", "TVGrad2D", "TVDiv2D", "MaskedFourierOp",

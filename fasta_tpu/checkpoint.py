@@ -15,6 +15,12 @@ capability is provided at two levels:
     (the algorithm is memoryless up to (x, τ); the nonmonotone window and
     FISTA momentum are rebuilt, which only makes the restart more
     conservative, never incorrect).
+
+For BIT-EXACT mid-run resume — window, momentum, BB stepsize and the
+diagnostics cursor all continued — use ``fasta_tpu.make_stateful_solver``
+to obtain the full ``SolverState`` carry, ``save_pytree``/``load_pytree``
+it, and continue with ``fasta_tpu.resume_state`` (the resumed trajectory
+equals the uninterrupted run bit-for-bit; tests/unit/test_exact_resume.py).
 """
 
 from __future__ import annotations

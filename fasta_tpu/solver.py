@@ -48,7 +48,8 @@ from .options import FastaOptions
 from .terms import ProxTerm, SmoothTerm, as_prox_term, as_smooth_term
 
 __all__ = [
-    "fasta", "solve", "make_solver", "make_batch_solver", "solve_path",
+    "fasta", "solve", "make_solver", "make_stateful_solver",
+    "resume_state", "make_batch_solver", "solve_path",
     "estimate_stepsize", "FastaResult", "DeviceResult", "SolverState",
     "Diagnostics",
 ]
@@ -190,18 +191,32 @@ def _real_dtype(dtype):
     return np.zeros((), dtype).real.dtype
 
 
-def _make_solve_fn(opts: FastaOptions):
-    """Build the traced solve(op, fterm, gterm, x0, tau0) -> DeviceResult."""
+def _make_solve_fn(opts: FastaOptions, with_state: bool = False,
+                   resume: bool = False):
+    """Build the traced solve fn -> DeviceResult.
+
+    ``with_state=True`` additionally returns the final ``SolverState``
+    (for exact mid-run checkpointing).  ``resume=True`` changes the
+    signature to ``solve(op, fterm, gterm, state)``: the while_loop
+    continues from the given carry instead of initializing from x0 —
+    the SAME loop body, so the continuation is bit-identical to the
+    uninterrupted run (SURVEY.md §5 checkpoint/resume)."""
     W = opts.window
     shrink_f = opts.shrink_factor
     accelerated = opts.accelerate
     adaptive = opts.adaptive and not opts.accelerate   # oracle precedence
 
     def solve(op: LinearOp, fterm: SmoothTerm, gterm: ProxTerm,
-              x0, tau0) -> DeviceResult:
-        x0 = jnp.asarray(x0)
-        rdt = _real_dtype(x0.dtype)
-        tau0 = jnp.asarray(tau0, rdt)
+              *args) -> DeviceResult:
+        if resume:
+            (state0,) = args
+            x0 = jnp.asarray(state0.x1)
+            rdt = _real_dtype(x0.dtype)
+        else:
+            x0, tau0 = args
+            x0 = jnp.asarray(x0)
+            rdt = _real_dtype(x0.dtype)
+            tau0 = jnp.asarray(tau0, rdt)
 
         # High-precision decision scalars (SURVEY.md §7 hard part 3):
         # below float64, every stepsize/backtracking/stopping reduction
@@ -235,10 +250,7 @@ def _make_solve_fn(opts: FastaOptions):
         affine_accel = (accelerated and fused is not None
                         and fterm.grad_affine)
 
-        d0 = op(x0)
-        f0 = fval(d0)
-        gradf0 = op.rmatvec(fterm.grad(d0))
-
+        d0 = op(x0)     # on resume: only the value_parts probe below
         # Fused dd-scalar reduction eligibility (static, decided at
         # trace time): hp_fuse — the term decomposes its value
         # elementwise, so f and the backtracking dot share one variadic
@@ -247,43 +259,51 @@ def _make_solve_fn(opts: FastaOptions):
         hp_fuse = hp and fterm.value_parts(d0) is not None
         hp_fuse_bb = hp_fuse and adaptive and fused is not None
 
-        if hp:
-            fwin = prec.DD(
-                jnp.full((W,), -jnp.inf, rdt).at[0].set(f0.hi),
-                jnp.zeros((W,), rdt).at[0].set(f0.lo))
+        if resume:
+            # the carry IS the checkpoint — the probe matvec above is
+            # dead code XLA eliminates
+            state = state0
         else:
-            fwin = jnp.full((W,), -jnp.inf, rdt).at[0].set(f0)
+            f0 = fval(d0)
+            gradf0 = op.rmatvec(fterm.grad(d0))
 
-        diags = Diagnostics(
-            residuals=jnp.zeros((opts.max_iters,), rdt),
-            norm_residuals=jnp.zeros((opts.max_iters,), rdt),
-            taus=jnp.zeros((opts.max_iters,), rdt),
-            fvals=jnp.zeros((opts.max_iters,), rdt),
-            objectives=(jnp.zeros((opts.max_iters,), rdt)
-                        if opts.record_objective else None),
-            backtracks=jnp.zeros((opts.max_iters,), jnp.int32),
-            iterates=(jnp.zeros((opts.max_iters,) + x0.shape, x0.dtype)
-                      if opts.record_iterates else None),
-        )
+            if hp:
+                fwin = prec.DD(
+                    jnp.full((W,), -jnp.inf, rdt).at[0].set(f0.hi),
+                    jnp.zeros((W,), rdt).at[0].set(f0.lo))
+            else:
+                fwin = jnp.full((W,), -jnp.inf, rdt).at[0].set(f0)
 
-        state = SolverState(
-            k=jnp.zeros((), jnp.int32),
-            stop=jnp.zeros((), jnp.bool_),
-            x1=x0,
-            gradf1=gradf0,
-            tau1=tau0,
-            fwin=fwin,
-            solution=x0,
-            best_x=x0,
-            min_objective=jnp.asarray(jnp.inf, rdt),
-            max_residual=jnp.asarray(-jnp.inf, rdt),
-            total_bt=jnp.zeros((), jnp.int32),
-            accel=(((x0, d0, gradf0, jnp.ones((), rdt)) if affine_accel
-                    else (x0, d0, jnp.ones((), rdt)))
-                   if accelerated else None),
-            nonfinite=jnp.zeros((), jnp.bool_),
-            diags=diags,
-        )
+            diags = Diagnostics(
+                residuals=jnp.zeros((opts.max_iters,), rdt),
+                norm_residuals=jnp.zeros((opts.max_iters,), rdt),
+                taus=jnp.zeros((opts.max_iters,), rdt),
+                fvals=jnp.zeros((opts.max_iters,), rdt),
+                objectives=(jnp.zeros((opts.max_iters,), rdt)
+                            if opts.record_objective else None),
+                backtracks=jnp.zeros((opts.max_iters,), jnp.int32),
+                iterates=(jnp.zeros((opts.max_iters,) + x0.shape, x0.dtype)
+                          if opts.record_iterates else None),
+            )
+
+            state = SolverState(
+                k=jnp.zeros((), jnp.int32),
+                stop=jnp.zeros((), jnp.bool_),
+                x1=x0,
+                gradf1=gradf0,
+                tau1=tau0,
+                fwin=fwin,
+                solution=x0,
+                best_x=x0,
+                min_objective=jnp.asarray(jnp.inf, rdt),
+                max_residual=jnp.asarray(-jnp.inf, rdt),
+                total_bt=jnp.zeros((), jnp.int32),
+                accel=(((x0, d0, gradf0, jnp.ones((), rdt)) if affine_accel
+                        else (x0, d0, jnp.ones((), rdt)))
+                       if accelerated else None),
+                nonfinite=jnp.zeros((), jnp.bool_),
+                diags=diags,
+            )
 
         def cond(s: SolverState):
             return (s.k < opts.max_iters) & (~s.stop)
@@ -549,7 +569,7 @@ def _make_solve_fn(opts: FastaOptions):
 
         final = jax.lax.while_loop(cond, body, state)
 
-        return DeviceResult(
+        result = DeviceResult(
             solution=final.solution,
             best_iterate=final.best_x,
             iteration_count=final.k,
@@ -564,6 +584,9 @@ def _make_solve_fn(opts: FastaOptions):
             iterates=final.diags.iterates,
             nonfinite=final.nonfinite,
         )
+        if with_state:
+            return result, final
+        return result
 
     return solve
 
@@ -617,6 +640,15 @@ def _cache_key(opts: FastaOptions):
             os.environ.get("FASTA_TPU_DD_IMPL", "reduce"))
 
 
+def _cached_jit(kind: str, opts: FastaOptions, build):
+    key = (kind,) + _cache_key(opts)
+    fn = _SOLVER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _SOLVER_CACHE.put(key, fn)
+    return fn
+
+
 def make_solver(opts: FastaOptions):
     """Return the jit-compiled
     ``solve(op, fterm, gterm, x0, tau0) -> DeviceResult``.
@@ -625,12 +657,75 @@ def make_solver(opts: FastaOptions):
     and array shapes/structures — the operator and both objective terms
     are pytree arguments, not trace constants.
     """
-    key = _cache_key(opts)
-    fn = _SOLVER_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(_make_solve_fn(opts))
-        _SOLVER_CACHE.put(key, fn)
-    return fn
+    return _cached_jit("solve", opts, lambda: _make_solve_fn(opts))
+
+
+def make_stateful_solver(opts: FastaOptions):
+    """Like :func:`make_solver` but returning ``(DeviceResult,
+    SolverState)`` — the final while_loop carry, a plain pytree that
+    :func:`fasta_tpu.checkpoint.save_pytree` serializes and
+    :func:`resume_state` continues BIT-IDENTICALLY (same loop body,
+    same executable class; SURVEY.md §5 'SolverState as a pytree …
+    free resume')."""
+    return _cached_jit("solve_state", opts,
+                       lambda: _make_solve_fn(opts, with_state=True))
+
+
+def _check_resume_diags(state: SolverState, opts: FastaOptions):
+    d = state.diags
+    for optname, arr, want in (("record_objective", d.objectives,
+                                opts.record_objective),
+                               ("record_iterates", d.iterates,
+                                opts.record_iterates)):
+        if (arr is None) == bool(want):
+            raise ValueError(
+                f"resume_state: options.{optname}={want} does not match "
+                f"the checkpointed state (which "
+                f"{'has' if arr is not None else 'lacks'} that "
+                f"recording); resume with the recording options the run "
+                f"was saved under")
+
+
+def resume_state(op: LinearOp, fterm: SmoothTerm, gterm: ProxTerm,
+                 state: SolverState,
+                 opts: Optional[FastaOptions] = None):
+    """Continue a checkpointed solve EXACTLY from its ``SolverState``.
+
+    ``state`` is the carry returned by :func:`make_stateful_solver` (or
+    loaded back via ``checkpoint.load_pytree``): the nonmonotone window,
+    FISTA momentum, BB stepsize, best-iterate tracking and diagnostics
+    cursor all continue, so the resumed trajectory equals the
+    uninterrupted run bit-for-bit (unlike ``checkpoint.resume``, which
+    warm-restarts from (x, τ) and rebuilds window/momentum).
+
+    ``opts.max_iters`` is the TOTAL iteration budget (the loop counter
+    continues from ``state.k``); diagnostics arrays are zero-padded up
+    to it.  All other options must match the original run — they select
+    the loop body.  Returns ``(DeviceResult, SolverState)``.
+    """
+    opts = opts or FastaOptions()
+    _check_resume_diags(state, opts)
+    n = opts.max_iters
+
+    def pad(a):
+        a = jnp.asarray(a)
+        if a.shape[0] > n:
+            raise ValueError(
+                f"resume_state: opts.max_iters={n} is shorter than the "
+                f"checkpoint's recorded diagnostics ({a.shape[0]}); "
+                f"max_iters is the TOTAL budget including completed "
+                f"iterations")
+        if a.shape[0] == n:
+            return a
+        return jnp.pad(a, ((0, n - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    state = state._replace(
+        diags=jax.tree_util.tree_map(pad, state.diags))
+    fn = _cached_jit("resume", opts,
+                     lambda: _make_solve_fn(opts, with_state=True,
+                                            resume=True))
+    return fn(op, fterm, gterm, state)
 
 
 def solve(op: LinearOp, fterm: SmoothTerm, gterm: ProxTerm, x0, tau0,
