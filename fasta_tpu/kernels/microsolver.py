@@ -1,4 +1,4 @@
-"""On-chip microsolver: the ENTIRE adaptive FASTA loop in ONE kernel.
+"""On-chip microsolver: the ENTIRE adaptive/FISTA FASTA loop in ONE kernel.
 
 For VMEM-resident problems (dense A up to ~tens of MB — which includes
 the BASELINE 1000×2000 LASSO at 8 MB) the jitted XLA loop is bound by
@@ -8,15 +8,20 @@ times that dispatching the ~20 small kernels of the loop body.
 
 This kernel is the logical extreme of fusion: ONE ``pallas_call`` runs
 the full solve — matrix pinned in VMEM across ALL iterations, the
-while_loop, the L1 prox, the nonmonotone backtracking line search, the
-Zhou–Gao–Dai BB stepsize, the hybrid stopping rule and the diagnostics
-ring all execute on-core with zero HBM round trips and zero launches
-per iteration.  Iteration math is the oracle's, bit-compatible with the
-main solver at f32 (Precision.HIGHEST MXU matvecs).
+while_loop, the prox, the nonmonotone backtracking line search, the
+Zhou–Gao–Dai BB stepsize (or FISTA + O'Donoghue–Candès restart with
+``accelerate=True``), the hybrid stopping rule and the diagnostics ring
+all execute on-core with zero HBM round trips and zero launches per
+iteration.  Iteration math is the oracle's, matching the main solver at
+f32 (Precision.HIGHEST MXU matvecs); ``hp=True`` runs the decision
+scalars (f-values/window, backtracking dot, BB numerator) in in-kernel
+double-word f32 — the XLA ``precision="auto"`` analog, with the dd
+reduction trees fully vectorized on the VPU (same machinery as
+kernels/microsolver_tv.py).
 
-Scope (v1): adaptive mode + soft-threshold prox (LASSO/BPDN family),
-real f32, single chip.  The general solver remains the XLA while_loop;
-this is the speed-of-light path for the headline workload.
+Scope: L1/nonneg/box prox (LASSO/BPDN, NNLS, box-constrained LS
+families), real f32, single chip.  The general solver remains the XLA
+while_loop; this is the speed-of-light path for the headline workload.
 """
 
 from __future__ import annotations
@@ -44,8 +49,12 @@ def supports_microsolver(m: int, n: int, dtype) -> bool:
 
 
 def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
-                 max_backtracks, kpad, engine="mxu", prox="l1"):
-    prec = jax.lax.Precision.HIGHEST
+                 max_backtracks, kpad, engine="mxu", prox="l1",
+                 hp=False, accelerate=False, restart=True,
+                 restart_dd=False):
+    from .. import precision as prec
+
+    mxu_prec = jax.lax.Precision.HIGHEST
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
                x_ref, taus_ref, res_ref, k_ref, conv_ref):
@@ -54,31 +63,68 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
 
-        def matvecs(x):
-            # d = x Aᵀ : (1,n)·(m,n)ᵀ → (1,m);  g = r A : (1,m)·(m,n)
+        def dd_reduce_row(phi, plo):
+            """Compensated sum of a (1, L) part row to a scalar DD:
+            lane-half folds to ≤128 lanes, then a log₂ butterfly
+            all-reduce via circular rolls — all vectorized VPU ops, so
+            oracle-grade decision scalars cost no extra dispatches
+            in-kernel.  Non-pow2 L is zero-padded first (zeros are
+            exact in two_sum/two_prod chains)."""
+            L = phi.shape[1]
+            p2 = 1 << (L - 1).bit_length()
+            if p2 != L:
+                z = jnp.zeros((1, p2 - L), jnp.float32)
+                phi = jnp.concatenate([phi, z], axis=1)
+                plo = jnp.concatenate([plo, z], axis=1)
+                L = p2
+            while L > 128:
+                half = L // 2
+                s = prec.dd_add(prec.DD(phi[:, :half], plo[:, :half]),
+                                prec.DD(phi[:, half:], plo[:, half:]))
+                phi, plo = s.hi, s.lo
+                L = half
+            off = L // 2
+            while off >= 1:
+                s = prec.dd_add(
+                    prec.DD(phi, plo),
+                    prec.DD(pltpu.roll(phi, off, 1),
+                            pltpu.roll(plo, off, 1)))
+                phi, plo = s.hi, s.lo
+                off //= 2
+            return prec.DD(phi[0, 0], plo[0, 0])
+
+        def dd_dot(u, v):
+            p_, e_ = prec.two_prod(u, v)
+            return dd_reduce_row(p_, e_)
+
+        def fwd(x):
+            """d = x Aᵀ : (1,n)·(m,n)ᵀ → (1,m)."""
             if engine == "vpu":
                 # GEMV wastes 127/128 MXU rows; the VPU broadcast+reduce
                 # formulation avoids the multi-pass MXU latency.
-                d = jnp.sum(A * x, axis=1).reshape(1, m)
-                r = d - b
-                f = 0.5 * jnp.sum(r * r)
-                g = jnp.sum(A * r.reshape(m, 1), axis=0).reshape(1, n)
-                return f, g
-            d = jax.lax.dot_general(
+                return jnp.sum(A * x, axis=1).reshape(1, m)
+            return jax.lax.dot_general(
                 x, A, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            r = d - b
-            f = 0.5 * jnp.sum(r * r)
-            g = jax.lax.dot_general(
-                r, A, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            return f, g
+                preferred_element_type=jnp.float32, precision=mxu_prec)
 
-        x0 = x0_ref[:]                     # (1, n)
-        tau0 = ts_ref[0]
-        f0, g0 = matvecs(x0)
-        fwin = jnp.where(lane_w == 0, f0,
-                         jnp.full((1, _WPAD), -jnp.inf, jnp.float32))
+        def adj(r):
+            """g = r A : (1,m)·(m,n) → (1,n)."""
+            if engine == "vpu":
+                return jnp.sum(A * r.reshape(m, 1), axis=0).reshape(1, n)
+            return jax.lax.dot_general(
+                r, A, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_prec)
+
+        def fof(d):
+            """f(d) = ½‖d − b‖² (dd under hp)."""
+            r = d - b
+            if hp:
+                p_, e_ = prec.two_prod(r, r)
+                return prec.dd_scale(dd_reduce_row(p_, e_), 0.5)
+            return 0.5 * jnp.sum(r * r)
+
+        def f_hi(f):
+            return f.hi if hp else f
 
         if prox == "l1":
             def shrink(z, t):
@@ -94,42 +140,71 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         else:                              # pragma: no cover
             raise ValueError(f"unknown prox {prox!r}")
 
-        # carry: k, stop, x, gradf, tau, fwin, max_res, taus, res, bt_tot
+        x0 = x0_ref[:]                     # (1, n)
+        tau0 = ts_ref[0]
+        d0 = fwd(x0)
+        f0 = fof(d0)
+        g0 = adj(d0 - b)
+        neg = jnp.full((1, _WPAD), -jnp.inf, jnp.float32)
+        fwin = jnp.where(lane_w == 0, f_hi(f0), neg)
+        fwin_lo = (jnp.where(lane_w == 0, f0.lo,
+                             jnp.zeros((1, _WPAD), jnp.float32)) if hp
+                   else None)
+
         def cond(c):
             return (c[0] < max_iters) & (~c[1])
 
-        def body(c):
-            (k, _stop, x_c, g_c, tau_c, fwin_c, maxres_c, taus_c,
-             res_c) = c
+        def window_max(fwin_c, fwlo_c):
+            """Nonmonotone window max M (hp: lo-channel tiebreak —
+            solver.py / precision.dd_max semantics)."""
+            if hp:
+                mhi = jnp.max(fwin_c)
+                mlo = jnp.max(jnp.where(fwin_c == mhi, fwlo_c, -jnp.inf))
+                return prec.DD(mhi, mlo)
+            return jnp.max(fwin_c)
 
-            def fb(tau):
-                x1hat = x_c - tau * g_c
-                x1 = shrink(x1hat, tau * mu)
-                dx = x1 - x_c
-                f1, g1 = matvecs(x1)
-                return x1hat, x1, dx, f1, g1
-
-            tau = tau_c
-            x1hat, x1, dx, f1, g1 = fb(tau)
-            M = jnp.max(fwin_c)
-
+        def backtrack(fb, first, tau, g_c, M):
+            """Zhang–Hager nonmonotone line search over fb trials.
+            A mode's fb(tau) returns (x1hat, x1, dx, f1, *rest) — the
+            first four slots are fixed so bt_cond can read dx/f1
+            positionally."""
             def bt_cond(bc):
-                tau_b, _x1hat, _x1, dx_b, f1_b, _g1, cnt = bc
-                suff = (M + jnp.sum(dx_b * g_c)
-                        + jnp.sum(dx_b * dx_b) / (2.0 * tau_b))
-                return (f1_b - 1e-12 > suff) & (cnt < max_backtracks)
+                tau_b = bc[0]
+                dx_b, f1_b = bc[3], bc[4]
+                cnt = bc[-1]
+                nd2 = jnp.sum(dx_b * dx_b)
+                if hp:
+                    # slack from the CURRENT trial's f1 (solver.py
+                    # bt_cond — f32 storage means the true f can exceed
+                    # the window by O(eps32)·scale)
+                    slack = 1e-12 + (64.0 * 1.1920929e-07) \
+                        * (jnp.abs(M.hi)
+                           + jnp.abs(prec.dd_to_float(f1_b)))
+                    rdg = dd_dot(dx_b, g_c)
+                    suff = prec.dd_add(M, prec.dd_add(
+                        rdg, prec.dd(nd2 / (2.0 * tau_b))))
+                    viol = prec.dd_to_float(
+                        prec.dd_sub(f1_b, suff)) > slack
+                else:
+                    suff = (M + jnp.sum(dx_b * g_c)
+                            + nd2 / (2.0 * tau_b))
+                    viol = f1_b - 1e-12 > suff
+                return viol & (cnt < max_backtracks)
 
             def bt_body(bc):
                 tau_b, *_, cnt = bc
                 tau_n = tau_b * shrink_factor
                 return (tau_n,) + fb(tau_n) + (cnt + 1,)
 
-            tau, x1hat, x1, dx, f1, g1, _bt = jax.lax.while_loop(
+            out = jax.lax.while_loop(
                 bt_cond, bt_body,
-                (tau, x1hat, x1, dx, f1, g1, jnp.zeros((), jnp.int32)))
+                (tau,) + first + (jnp.zeros((), jnp.int32),))
+            return out[:-1]               # drop the trial counter
 
-            ndx2 = jnp.sum(dx * dx)
-            res = jnp.sqrt(ndx2) / tau
+        def resid_stop(tau, x1, x1hat, dx, g_c, maxres_c):
+            """Gradient-map residual, hybrid stopping (oracle C4)."""
+            nd2 = jnp.sum(dx * dx)
+            res = jnp.sqrt(nd2) / tau
             maxres = jnp.maximum(maxres_c, res)
             sm = x1 - x1hat
             normalizer = jnp.maximum(
@@ -137,16 +212,119 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                 jnp.sqrt(jnp.sum(sm * sm)) / tau) + 1e-8
             nres = res / normalizer
             stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+            return nd2, res, maxres, stop
 
+        if accelerate:
+            def body(c):
+                (k, _stop, y_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
+                 taus_c, res_c, xa_c, dacc_c, alpha_c) = c
+
+                def fb(tau):
+                    x1hat = y_c - tau * g_c
+                    x1 = shrink(x1hat, tau * mu)
+                    dx = x1 - y_c
+                    d1 = fwd(x1)
+                    # no adjoint during trials: accel needs ∇f̃ only at
+                    # the extrapolated point, after acceptance
+                    return x1hat, x1, dx, fof(d1), d1
+
+                tau = tau_c
+                first = fb(tau)
+                M = window_max(fwin_c, fwlo_c)
+                tau, x1hat, x1, dx, f1, d1 = backtrack(
+                    fb, first, tau, g_c, M)
+
+                _nd2, res, maxres, stop = resid_stop(
+                    tau, x1, x1hat, dx, g_c, maxres_c)
+                taus_n = jnp.where(lane_k == k, tau, taus_c)
+                res_n = jnp.where(lane_k == k, res, res_c)
+
+                # O'Donoghue–Candès gradient restart (plain-f32 sign
+                # test by default; restart_dd mirrors solver.py's dd
+                # restart dot bit-for-bit)
+                if hp and restart_dd:
+                    rdot = prec.dd_to_float(dd_dot(y_c - x1, x1 - xa_c))
+                else:
+                    rdot = jnp.sum((y_c - x1) * (x1 - xa_c))
+                alpha0 = (jnp.where(rdot > 0.0, 1.0, alpha_c)
+                          if restart else alpha_c)
+                alpha1 = (1.0
+                          + jnp.sqrt(1.0 + 4.0 * alpha0 * alpha0)) / 2.0
+                beta = (alpha0 - 1.0) / alpha1
+                y_n = x1 + beta * (x1 - xa_c)
+                d_n = d1 + beta * (d1 - dacc_c)     # A is linear
+                g_n = adj(d_n - b)
+                f_n = fof(d_n)
+                # the window records f at the NEXT search point (the
+                # extrapolated y) — oracle/solver.py semantics; on a
+                # converged stop the prox-point value is recorded
+                if hp:
+                    f_rec = prec.dd_where(stop, f1, f_n)
+                    fwlo_n = jnp.where(lane_w == (k + 1) % window,
+                                       f_rec.lo, fwlo_c)
+                else:
+                    f_rec = jnp.where(stop, f1, f_n)
+                    fwlo_n = None
+                fwin_n = jnp.where(lane_w == (k + 1) % window,
+                                   f_hi(f_rec), fwin_c)
+
+                return (k + 1, stop, y_n, g_n, tau, fwin_n, fwlo_n,
+                        maxres, taus_n, res_n, x1, d1, alpha1)
+
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+                    x0, g0, tau0, fwin, fwin_lo,
+                    jnp.asarray(-jnp.inf, jnp.float32),
+                    jnp.zeros((1, kpad), jnp.float32),
+                    jnp.zeros((1, kpad), jnp.float32),
+                    x0, d0, jnp.asarray(1.0, jnp.float32))
+            (k, stop, y_f, _g, _tau, _fw, _fwlo, _mr, taus_f, res_f,
+             xa_f, _d, _a) = jax.lax.while_loop(cond, body, init)
+
+            # a converged stop exits at the prox iterate; max-iters
+            # exhaustion returns the extrapolated point (oracle break
+            # semantics, solver.py solution select)
+            x_ref[:] = jnp.where(stop, xa_f, y_f)
+            taus_ref[:] = taus_f
+            res_ref[:] = res_f
+            k_ref[0, 0] = k
+            conv_ref[0, 0] = stop.astype(jnp.int32)
+            return
+
+        def body(c):
+            (k, _stop, x_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
+             taus_c, res_c) = c
+
+            def fb(tau):
+                x1hat = x_c - tau * g_c
+                x1 = shrink(x1hat, tau * mu)
+                dx = x1 - x_c
+                d1 = fwd(x1)
+                return x1hat, x1, dx, fof(d1), adj(d1 - b)
+
+            tau = tau_c
+            first = fb(tau)
+            M = window_max(fwin_c, fwlo_c)
+            tau, x1hat, x1, dx, f1, g1 = backtrack(
+                fb, first, tau, g_c, M)
+
+            nd2, res, maxres, stop = resid_stop(
+                tau, x1, x1hat, dx, g_c, maxres_c)
             taus_n = jnp.where(lane_k == k, tau, taus_c)
             res_n = jnp.where(lane_k == k, res, res_c)
-            fwin_n = jnp.where(lane_w == (k + 1) % window, f1, fwin_c)
+            fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
+                               fwin_c)
+            fwlo_n = (jnp.where(lane_w == (k + 1) % window, f1.lo,
+                                fwlo_c) if hp else None)
 
-            # BB (Zhou–Gao–Dai hybrid)
+            # BB (Zhou–Gao–Dai hybrid); ⟨Δx,Δg⟩ cancels near
+            # convergence → dd under hp (solver.py semantics)
             dg = g1 + (x1hat - x_c) / tau
-            dotprod = jnp.sum(dx * dg)
+            if hp:
+                dotprod = prec.dd_to_float(dd_dot(dx, dg))
+            else:
+                dotprod = jnp.sum(dx * dg)
             ndg2 = jnp.sum(dg * dg)
-            tau_s = jnp.where(dotprod != 0.0, ndx2 / dotprod, jnp.inf)
+            tau_s = jnp.where(dotprod != 0.0, nd2 / dotprod, jnp.inf)
             tau_m = jnp.maximum(
                 jnp.where(ndg2 > 0.0, dotprod / ndg2, 0.0), 0.0)
             tau_n = jnp.where(2.0 * tau_m > tau_s, tau_m,
@@ -154,15 +332,15 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
             bad = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
             tau_n = jnp.where(bad, tau * 1.5, tau_n)
 
-            return (k + 1, stop, x1, g1, tau_n, fwin_n, maxres,
+            return (k + 1, stop, x1, g1, tau_n, fwin_n, fwlo_n, maxres,
                     taus_n, res_n)
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
-                x0, g0, tau0, fwin,
+                x0, g0, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
                 jnp.zeros((1, kpad), jnp.float32),
                 jnp.zeros((1, kpad), jnp.float32))
-        (k, stop, x_f, _gf, _tauf, _fw, _mr, taus_f,
+        (k, stop, x_f, _gf, _tauf, _fw, _fwlo, _mr, taus_f,
          res_f) = jax.lax.while_loop(cond, body, init)
 
         x_ref[:] = x_f
@@ -177,13 +355,26 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
 @functools.partial(
     jax.jit,
     static_argnames=("mu", "max_iters", "window", "tol", "shrink_factor",
-                     "max_backtracks", "interpret", "engine", "prox"))
+                     "max_backtracks", "interpret", "engine", "prox",
+                     "hp", "accelerate", "restart", "restart_dd"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
-                     interpret=False, engine="mxu", prox="l1"):
-    """Whole-solve kernel for  min ½‖Ax−b‖² + g(x)  (adaptive mode) with
-    g selected by ``prox``: "l1" (μ‖·‖₁ — LASSO/BPDN), "nonneg" (NNLS),
-    or "box" ([−1,1] indicator).
+                     interpret=False, engine="mxu", prox="l1",
+                     hp=False, accelerate=False, restart=True,
+                     restart_dd=False):
+    """Whole-solve kernel for  min ½‖Ax−b‖² + g(x)  with g selected by
+    ``prox``: "l1" (μ‖·‖₁ — LASSO/BPDN), "nonneg" (NNLS), or "box"
+    ([−1,1] indicator).
+
+    ``accelerate=True`` runs FISTA with O'Donoghue–Candès gradient
+    restart instead of the BB stepsize; the extrapolated point's
+    d = A·y rides the affine d₁ + β(d₁ − d₀) combination (A linear —
+    oracle fasta_numpy.py accel branch), so each iteration costs one
+    forward matvec per trial plus one adjoint.  ``hp=True`` runs the
+    decision scalars in in-kernel double-word f32 (vectorized VPU
+    reduction rows — no extra dispatches), matching the XLA solver's
+    ``precision="auto"`` path; ``restart_dd=True`` additionally mirrors
+    its dd restart dot.
 
     Returns (x, taus[max_iters], residuals[max_iters], iteration_count,
     converged).
@@ -191,7 +382,8 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     m, n = A.shape
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
-                        max_backtracks, kpad, engine, prox)
+                        max_backtracks, kpad, engine, prox, hp,
+                        accelerate, restart, restart_dd)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
     x, taus, res, k, conv = pl.pallas_call(
         kern,

@@ -115,13 +115,15 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
-    Adaptive (BB) mode by default; ``accelerate=True`` selects FISTA
-    with adaptive ``restart`` (TV kernel only — fewer iterations on the
-    TV dual; ``restart_dd=True`` mirrors the XLA hp restart dot
-    bit-for-bit at ~1.27× the wall).  ``hp`` (TV kernel; defaults on)
-    selects in-kernel double-word decision scalars, matching the XLA
-    ``precision="auto"`` path (non-pow2 dims are zero-padded inside the
-    reduction trees — exact).
+    Adaptive (BB) mode by default; ``accelerate=True`` selects in-kernel
+    FISTA with O'Donoghue–Candès ``restart`` (both kernels;
+    ``restart_dd=True`` mirrors the XLA hp restart dot bit-for-bit —
+    on the TV kernel at ~1.27× the wall).  ``hp`` selects in-kernel
+    double-word decision scalars, matching the XLA ``precision="auto"``
+    path (non-pow2 dims are zero-padded inside the reduction trees —
+    exact); it defaults ON for the TV kernel and OFF for the dense
+    kernel (whose problems converge at plain f32 — docs/PERF.md), and
+    either can be overridden explicitly.
     ``engine`` (dense kernel; defaults to "mxu") picks the matvec
     formulation.  Explicitly passing a kernel-specific option to the
     other kernel raises — this API never silently drops a request.
@@ -163,16 +165,6 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
             restart=restart, restart_dd=restart_dd)
         sol = p
     else:
-        if accelerate:
-            raise ValueError("accelerate is only available for the TV "
-                             "kernel; the dense microsolver is adaptive "
-                             "(BB) only")
-        if hp is not None:
-            raise ValueError("the dense microsolver has no hp mode (its "
-                             "problems converge at plain f32 — "
-                             "docs/PERF.md); omit hp, or use "
-                             "Problem.solve(precision='auto') for dd "
-                             "decision scalars")
         from .kernels.microsolver import microsolve_lasso
 
         prox, mu = detail
@@ -183,7 +175,9 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
             A, b, x0, tau0, mu, max_iters=max_iters, window=window,
             tol=tol, shrink_factor=shrink_factor,
             max_backtracks=max_backtracks, interpret=interpret,
-            engine=engine or "mxu", prox=prox)
+            engine=engine or "mxu", prox=prox,
+            hp=bool(hp), accelerate=accelerate, restart=restart,
+            restart_dd=restart_dd)
         sol = x.reshape(-1)
 
     k = int(k)

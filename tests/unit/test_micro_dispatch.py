@@ -85,15 +85,22 @@ def test_accelerate_dispatch():
     r = microsolve(tv, tau0=2.0, max_iters=400, tol=1e-4,
                    accelerate=True)
     assert r.converged
+    # the dense kernel gained FISTA mode in round 3 (VERDICT item 4)
     lasso = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="accelerate"):
-        microsolve(lasso, tau0=0.05, max_iters=10, accelerate=True)
+    r2 = microsolve(lasso, tau0=0.05, max_iters=400, tol=1e-4,
+                    accelerate=True)
+    assert r2.converged
+
+
+def test_dense_hp_dispatch():
+    """hp=True routes in-kernel dd scalars on the dense kernel too
+    (round-3: parity with the TV kernel)."""
+    lasso = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    r = microsolve(lasso, tau0=0.05, max_iters=400, tol=1e-5, hp=True)
+    assert r.converged
 
 
 def test_kernel_specific_options_rejected_crosswise():
-    lasso = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="hp"):
-        microsolve(lasso, tau0=0.05, max_iters=10, hp=True)
     tv = problems.build("tv", h=16, w=16, dtype=jnp.float32)
     with pytest.raises(ValueError, match="engine"):
         microsolve(tv, tau0=2.0, max_iters=10, engine="vpu")
