@@ -1,47 +1,209 @@
 """Hardware validation batch — run on a LIVE TPU after kernel or
 precision changes (the CPU suite cannot catch Mosaic layout bugs:
 interpret mode lowers differently).  Serially, one process.
-1. TV hp XLA wall at 512x512 (checks the 2-stage dd collapse on chip)
-2. non-pow2 hp TV microsolve vs XLA hp trajectories ON HARDWARE
-3. bench.py-equivalent headline sanity
+
+Checks (each prints a line; asserts abort):
+ 1. tunnel RTT (single-dispatch readback round trip)
+ 2. TV hp XLA wall at 512x512 (2-stage dd collapse on chip)
+ 3. non-pow2 hp TV microsolve vs XLA hp trajectories ON HARDWARE
+ 4. 24x24 hp TV microsolve convergence
+ 5. DEPENDENCY-CHAINED streaming-gradmap re-measurement at 8192x16384
+    with an implied-GB/s roofline sanity column (round-2 VERDICT weak
+    #2: the 0.41 ms/eval record implied 153% of the v5e HBM roofline —
+    the K-chain must carry a data dependency so every eval really
+    streams A)
+ 6. planar one-pass kernel: hardware correctness vs the XLA two-pass
+    at 512x1024, then chained perf at 16384x4096 (512 MB planar)
+ 7. dense microsolver hp + FISTA on hardware: prefix parity vs the XLA
+    hp path + wall at the 1000x2000 baseline
+
+Usage: python benchmarks/hw_validate.py [--quick]
 """
+import sys
 import time
-import jax, jax.numpy as jnp, numpy as np
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import problems
 from fasta_tpu import FastaOptions, make_solver, microsolve
 
-tiny = jax.jit(lambda i: jnp.sum(jnp.zeros(8) + i)); float(tiny(0))
-rtt = min((lambda t0=time.perf_counter(): (float(tiny(i)), time.perf_counter()-t0)[1])() for i in range(1,4))
-print(f"RTT {rtt*1e3:.1f} ms")
+QUICK = "--quick" in sys.argv
+HBM_GBPS = 819.0        # v5e HBM roofline
 
-# 1. TV hp XLA wall (2-stage dd collapse now in the path)
+
+def readback_rtt():
+    tiny = jax.jit(lambda i: jnp.sum(jnp.zeros(8) + i))
+    float(tiny(0))
+    return min((lambda t0=time.perf_counter():
+                (float(tiny(i)), time.perf_counter() - t0)[1])()
+               for i in range(1, 4))
+
+
+def chain(gradmap, x0, K):
+    """K gradient evaluations per readback with a REAL data dependency:
+    the next trial point is x0 + 0·g (not constant-foldable — 0·NaN is
+    NaN under IEEE), so XLA cannot CSE or reorder the A reads."""
+    def step(x, _):
+        _d, f, g = gradmap(x)
+        return x0 + 0.0 * g, f
+
+    @jax.jit
+    def run(x):
+        _xf, fs = jax.lax.scan(step, x, None, length=K)
+        return jnp.sum(fs)
+
+    return run
+
+
+def timed(fn, *args, rtt, repeats=3):
+    float(fn(*args))                    # warm/compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 1e-9)
+
+
+rtt = readback_rtt()
+print(f"[1] RTT {rtt*1e3:.2f} ms")
+
+# ---- 2. TV hp XLA wall --------------------------------------------------
 p512 = problems.build("tv")
 s = make_solver(FastaOptions(max_iters=3000, tol=1e-5))
-args = (p512.op, p512.fterm, p512.gterm, jnp.asarray(p512.x0), jnp.asarray(2.0, jnp.float32))
+args = (p512.op, p512.fterm, p512.gterm, jnp.asarray(p512.x0),
+        jnp.asarray(2.0, jnp.float32))
 out = s(*args); float(jnp.sum(out.taus))
 best = 1e9
 for _ in range(3):
-    t0 = time.perf_counter(); out = s(*args); float(jnp.sum(out.taus)); best = min(best, time.perf_counter()-t0)
-print(f"TV 512 XLA hp: {(best-rtt)*1e3:.1f} ms net, {int(out.iteration_count)} iters (pre-change same-state: 125.9 ms)")
+    t0 = time.perf_counter(); out = s(*args); float(jnp.sum(out.taus))
+    best = min(best, time.perf_counter() - t0)
+print(f"[2] TV 512 XLA hp: {(best-rtt)*1e3:.1f} ms net, "
+      f"{int(out.iteration_count)} iters (2026-08-17 same-state: 125.9 ms)")
 
-# 2. non-pow2 hp microsolver ON HARDWARE vs XLA hp
+# ---- 3. non-pow2 hp microsolver ON HARDWARE vs XLA hp -------------------
 prob = problems.build("tv", h=48, w=24, dtype=jnp.float32)
 r = microsolve(prob, tau0=2.0, max_iters=120, tol=0.0, hp=True)
 prob.tau0 = 2.0
-rx = prob.solve(tol=1e-12, max_iters=120, fuse=False, stop_rule="iterations", precision="auto")
-np.testing.assert_allclose(np.asarray(r.taus[:12]), np.asarray(rx.taus[:12]), rtol=1e-4)
+rx = prob.solve(tol=1e-12, max_iters=120, fuse=False,
+                stop_rule="iterations", precision="auto")
+np.testing.assert_allclose(np.asarray(r.taus[:12]),
+                           np.asarray(rx.taus[:12]), rtol=1e-4)
 rc = microsolve(prob, tau0=2.0, max_iters=600, tol=1e-5, hp=True)
 rxc = prob.solve(tol=1e-5, max_iters=600, fuse=False, precision="auto")
-xr = prob.recover(np.asarray(rc.solution)); xx = prob.recover(np.asarray(rxc.solution))
+xr = prob.recover(np.asarray(rc.solution))
+xx = prob.recover(np.asarray(rxc.solution))
 d = float(np.max(np.abs(xr - xx)))
-print(f"non-pow2 48x24 HW: taus match 12-iter rtol 1e-4; converged primal diff {d:.1e} "
-      f"({int(rc.iteration_count)} vs {int(rxc.iteration_count)} iters)")
+print(f"[3] non-pow2 48x24 HW: taus match 12-iter rtol 1e-4; converged "
+      f"primal diff {d:.1e} ({int(rc.iteration_count)} vs "
+      f"{int(rxc.iteration_count)} iters)")
 assert d < 1e-3
 
-# 3. also a 24x24 convergence check on hardware
+# ---- 4. 24x24 convergence ------------------------------------------------
 p24 = problems.build("tv", h=24, w=24, dtype=jnp.float32)
 r24 = microsolve(p24, tau0=2.0, max_iters=600, tol=1e-5, hp=True)
-print(f"24x24 HW: converged={r24.converged} in {r24.iteration_count} iters")
+print(f"[4] 24x24 HW: converged={r24.converged} in "
+      f"{r24.iteration_count} iters")
+
+# ---- 5. chained streaming gradmap + roofline sanity ----------------------
+from fasta_tpu.kernels import fused_lstsq_gradmap, lstsq_gradmap_reference
+
+m, n = (2048, 4096) if QUICK else (8192, 16384)
+rng = np.random.default_rng(0)
+A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+K = 4 if QUICK else 16
+gb = m * n * 4 / 1e9
+t2 = timed(chain(lambda v: lstsq_gradmap_reference(A, v, b), x, K), x,
+           rtt=rtt) / K
+t1 = timed(chain(lambda v: fused_lstsq_gradmap(A, v, b), x, K), x,
+           rtt=rtt) / K
+g2, g1 = 2 * gb / t2, gb / t1
+ok5 = ("OK" if max(g1, g2) <= 1.05 * HBM_GBPS
+       else "EXCEEDED — measurement artifact, investigate")
+print(f"[5] streaming gradmap {m}x{n} (A = {gb:.2f} GB), K={K} chained: "
+      f"XLA two-pass {t2*1e3:.2f} ms/eval -> {g2:.0f} GB/s implied; "
+      f"fused one-pass {t1*1e3:.2f} ms/eval -> {g1:.0f} GB/s implied; "
+      f"speedup {t2/t1:.2f}x  "
+      f"[roofline {HBM_GBPS:.0f} GB/s: {ok5}]")
+assert g1 <= 1.1 * HBM_GBPS and g2 <= 1.1 * HBM_GBPS, \
+    "implied bandwidth exceeds the HBM roofline: the chain is not " \
+    "serializing full A reads"
+
+# ---- 6. planar one-pass kernel: correctness + perf -----------------------
+from fasta_tpu.kernels import (fused_planar_hinge_gradmap,
+                               fused_planar_lstsq_gradmap,
+                               planar_hinge_gradmap_reference,
+                               planar_lstsq_gradmap_reference)
+
+mp, np_ = 512, 1024
+Ar = jnp.asarray(rng.standard_normal((mp, np_)), jnp.float32)
+Ai = jnp.asarray(rng.standard_normal((mp, np_)), jnp.float32)
+xp = jnp.asarray(rng.standard_normal((np_, 2)), jnp.float32)
+bp = jnp.asarray(rng.standard_normal((mp, 2)), jnp.float32)
+bh = jnp.abs(jnp.asarray(rng.standard_normal(mp), jnp.float32)) + 0.1
+d1_, f1_, g1_ = jax.block_until_ready(
+    fused_planar_lstsq_gradmap(Ar, Ai, xp, bp))
+d0_, f0_, g0_ = planar_lstsq_gradmap_reference(Ar, Ai, xp, bp)
+np.testing.assert_allclose(np.asarray(g1_), np.asarray(g0_),
+                           rtol=2e-4, atol=1e-3)
+dh1, fh1, gh1 = jax.block_until_ready(
+    fused_planar_hinge_gradmap(Ar, Ai, xp, bh))
+dh0, fh0, gh0 = planar_hinge_gradmap_reference(Ar, Ai, xp, bh)
+np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh0),
+                           rtol=2e-4, atol=1e-3)
+print(f"[6a] planar kernels HW-correct at {mp}x{np_} "
+      f"(lstsq g diff {float(jnp.max(jnp.abs(g1_-g0_))):.1e}, "
+      f"hinge g diff {float(jnp.max(jnp.abs(gh1-gh0))):.1e})")
+
+ms, ns = (4096, 1024) if QUICK else (16384, 4096)
+Ar = jnp.asarray(rng.standard_normal((ms, ns)), jnp.float32)
+Ai = jnp.asarray(rng.standard_normal((ms, ns)), jnp.float32)
+xs = jnp.asarray(rng.standard_normal((ns, 2)), jnp.float32)
+bs = jnp.abs(jnp.asarray(rng.standard_normal(ms), jnp.float32)) + 0.1
+gbp = 2 * ms * ns * 4 / 1e9
+tp2 = timed(chain(lambda v: planar_hinge_gradmap_reference(Ar, Ai, v, bs),
+                  xs, K), xs, rtt=rtt) / K
+tp1 = timed(chain(lambda v: fused_planar_hinge_gradmap(Ar, Ai, v, bs),
+                  xs, K), xs, rtt=rtt) / K
+gp2, gp1 = 2 * gbp / tp2, gbp / tp1
+ok6 = "OK" if max(gp1, gp2) <= 1.05 * HBM_GBPS else "EXCEEDED"
+print(f"[6b] planar hinge gradmap {ms}x{ns} (Ar+Ai = {gbp:.2f} GB), "
+      f"K={K}: XLA two-pass {tp2*1e3:.2f} ms -> {gp2:.0f} GB/s; fused "
+      f"one-pass {tp1*1e3:.2f} ms -> {gp1:.0f} GB/s; "
+      f"speedup {tp2/tp1:.2f}x "
+      f"[target >=1.5x; roofline {ok6}]")
+assert gp1 <= 1.1 * HBM_GBPS and gp2 <= 1.1 * HBM_GBPS
+
+# ---- 7. dense microsolver hp + FISTA on hardware -------------------------
+pl_ = problems.build("lasso", m=1000, n=2000, k=100, dtype=jnp.float32)
+inst = pl_.instance
+pl_.tau0 = 0.05
+r_hp = microsolve(pl_, max_iters=400, tol=1e-5, hp=True)
+rx = pl_.solve(tol=1e-12, max_iters=15, fuse=False,
+               stop_rule="iterations", precision="auto")
+np.testing.assert_allclose(np.asarray(r_hp.taus[:10]),
+                           np.asarray(rx.taus[:10]), rtol=1e-4)
+r_fista = microsolve(pl_, max_iters=1000, tol=1e-5, hp=True,
+                     accelerate=True)
+walls = {}
+for label, kw in (("plain", {}), ("hp", dict(hp=True)),
+                  ("fista-hp", dict(hp=True, accelerate=True))):
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rr = microsolve(pl_, max_iters=400 if label != "fista-hp" else 1000,
+                        tol=1e-5, **kw)
+        best = min(best, time.perf_counter() - t0 - rtt)
+    walls[label] = (best, rr.iteration_count)
+print(f"[7] dense micro 1000x2000 HW: taus[0:10] match XLA hp rtol 1e-4; "
+      + "; ".join(f"{k}: {v[0]*1e3:.1f} ms/{v[1]} iters"
+                  for k, v in walls.items()))
+
 print("ALL REVALIDATION OK")

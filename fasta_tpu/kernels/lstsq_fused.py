@@ -25,8 +25,11 @@ step 0 initializes, later steps accumulate.
 
 Used by ``LeastSquares.fused_gradmap`` (fasta_tpu/terms.py) when the
 operator is a real float32 DenseOp on a TPU backend; everywhere else the
-mathematically identical two-pass XLA fallback runs.  Complex operators
-currently take the fallback path (planar-complex kernel is a follow-up).
+mathematically identical two-pass XLA fallback runs.  Planar-complex
+operators stream through the sibling kernel in ``planar_fused.py``
+(both channel matrices read once per evaluation); native complex dtype
+takes the fallback path (the TPU backend has no complex support —
+planar IS the TPU layout).
 
 Measured status on TPU v5e (2026-08-17; RTT-amortized timing — the
 tunneled backend's per-readback round trip measured 28 ms that day, so

@@ -145,6 +145,21 @@ class LeastSquares(SmoothTerm):
                     and jnp.asarray(self.b).dtype == jnp.float32):
                 return lambda p: fused_tv_gradmap(p, self.b, mu)
             return lambda p: tv_gradmap_reference(p, self.b, mu)
+        from .operators import PlanarDenseOp
+        if isinstance(op, PlanarDenseOp):
+            # planar-complex streaming: both channel matrices read ONCE
+            # per gradient evaluation (kernels/planar_fused.py)
+            b = jnp.asarray(self.b)
+            Ar = op.Ar
+            if Ar.ndim != 2 or b.ndim != 2 or b.shape[-1] != 2:
+                return None
+            from .kernels.planar_fused import (fused_planar_lstsq_gradmap,
+                                               supports_planar_fusion)
+            m, n = Ar.shape
+            if supports_planar_fusion(m, n, Ar.dtype):
+                return lambda x: fused_planar_lstsq_gradmap(
+                    Ar, op.Ai, x, b)
+            return None
         from .operators import LowPrecDenseOp
         if isinstance(op, LowPrecDenseOp):
             # bf16-storage streaming path: the one-pass kernel reads
@@ -389,6 +404,19 @@ class PlanarPhaseHinge(SmoothTerm):
                                sharded_planar_phase_hinge_gradmap)
         if isinstance(op, RowShardedPlanarDenseOp):
             return sharded_planar_phase_hinge_gradmap(op, self.b)
+        from .operators import PlanarDenseOp
+        if isinstance(op, PlanarDenseOp):
+            # flagship single-chip streaming path (SURVEY.md §3.4): one
+            # read of (Ar, Ai) per hinge gradient evaluation
+            from .kernels.planar_fused import (fused_planar_hinge_gradmap,
+                                               supports_planar_fusion)
+            Ar = op.Ar
+            if Ar.ndim != 2 or jnp.asarray(self.b).ndim != 1:
+                return None
+            m, n = Ar.shape
+            if supports_planar_fusion(m, n, Ar.dtype):
+                return lambda x: fused_planar_hinge_gradmap(
+                    Ar, op.Ai, x, self.b)
         return None
 
     def tree_flatten(self):
