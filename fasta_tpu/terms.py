@@ -124,15 +124,19 @@ class LeastSquares(SmoothTerm):
         VMEM-resident Pallas kernel for the TV stencil operator; exact
         XLA fallback elsewhere."""
         from .operators import DenseOp, ScaledOp, TVDiv2D
-        from .sharding import (GridShardedDenseOp, RowShardedDenseOp,
-                               RowShardedTVDivOp,
+        from .sharding import (GridShardedDenseOp,
+                               GridShardedPlanarDenseOp,
+                               RowShardedDenseOp, RowShardedTVDivOp,
                                sharded_lstsq_gradmap,
                                sharded_lstsq_gradmap_2d,
+                               sharded_planar_lstsq_gradmap_2d,
                                sharded_tv_lstsq_gradmap)
         if isinstance(op, RowShardedDenseOp):
             return sharded_lstsq_gradmap(op, self.b)
         if isinstance(op, GridShardedDenseOp):
             return sharded_lstsq_gradmap_2d(op, self.b)
+        if isinstance(op, GridShardedPlanarDenseOp):
+            return sharded_planar_lstsq_gradmap_2d(op, self.b)
         if isinstance(op, RowShardedTVDivOp):
             return sharded_tv_lstsq_gradmap(op, self.b)
         if (isinstance(op, ScaledOp) and isinstance(op.op, TVDiv2D)
@@ -400,10 +404,14 @@ class PlanarPhaseHinge(SmoothTerm):
         return (r / jnp.maximum(mag, 1e-30))[:, None] * d
 
     def fused_gradmap(self, op):
-        from .sharding import (RowShardedPlanarDenseOp,
-                               sharded_planar_phase_hinge_gradmap)
+        from .sharding import (GridShardedPlanarDenseOp,
+                               RowShardedPlanarDenseOp,
+                               sharded_planar_phase_hinge_gradmap,
+                               sharded_planar_phase_hinge_gradmap_2d)
         if isinstance(op, RowShardedPlanarDenseOp):
             return sharded_planar_phase_hinge_gradmap(op, self.b)
+        if isinstance(op, GridShardedPlanarDenseOp):
+            return sharded_planar_phase_hinge_gradmap_2d(op, self.b)
         from .operators import PlanarDenseOp
         if isinstance(op, PlanarDenseOp):
             # flagship single-chip streaming path (SURVEY.md §3.4): one

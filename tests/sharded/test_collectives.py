@@ -93,6 +93,28 @@ def test_2d_mesh_collective_budget():
     assert n_ag == 0
 
 
+def test_2d_mesh_planar_collective_budget():
+    """Planar-complex wide-problem layout (GridShardedPlanarDenseOp):
+    identical budget to the real 2-D mesh — the channel pair doubles
+    local FLOPs, never communication.  2 per fused hinge-gradmap region
+    (col-axis psum for d, fused row-axis psum for (f,g)) x 3 regions +
+    2 col-axis scalar psums = 8 (measured); accel adds the restart
+    reduction (9).  Neither channel matrix may ever be gathered."""
+    prob = problems.build("phase_retrieval", m=64, n=64, planar=True,
+                          dtype=jnp.float64)
+    txt = _compiled_text(prob, two_d=True, max_iters=50)
+    n_ar, n_ag = _collectives(txt)
+    assert n_ar == 8, f"unexpected all-reduce count {n_ar}"
+    assert n_ag == 0
+    assert "f64[64,64]" not in txt, "channel matrix not partitioned"
+
+    txt = _compiled_text(prob, two_d=True, max_iters=50,
+                         adaptive=False, accelerate=True)
+    n_ar, n_ag = _collectives(txt)
+    assert n_ar == 9, f"unexpected all-reduce count {n_ar}"   # measured
+    assert n_ag == 0
+
+
 def test_phase_retrieval_collective_budget():
     prob = problems.build("phase_retrieval", m=512, n=16,
                           dtype=jnp.complex128)
