@@ -65,6 +65,31 @@ def main():
     print(f"lasso: micro {1000/tm:.0f} it/s | xla {1000/tx:.0f} it/s "
           f"({tx/tm:.2f}x)", flush=True)
 
+    # dense microsolver hp + FISTA (round-3 additions): steady rates
+    # and the wall-to-tol contest vs the XLA hp loop
+    tm_hp = _t(lambda: microsolve_lasso(A, b, x0, 0.05, inst["mu"],
+                                        max_iters=1000, tol=0.0, hp=True))
+    solve_hp = make_solver(FastaOptions(max_iters=1000,
+                                        stop_rule="iterations",
+                                        precision="high"))
+    tx_hp = _t(lambda: solve_hp(*args))
+    print(f"lasso-hp: micro {1000/tm_hp:.0f} it/s | xla hp "
+          f"{1000/tx_hp:.0f} it/s ({tx_hp/tm_hp:.2f}x)", flush=True)
+
+    def lasso_conv(kw, mi):
+        def run():
+            _x, _t_, _r, kk, _c = microsolve_lasso(
+                A, b, x0, 0.05, inst["mu"], max_iters=mi, tol=1e-5, **kw)
+            return kk
+        return int(run()), _t(run)
+    for label, kw, mi in (("adapt", dict(), 512),
+                          ("adapt-hp", dict(hp=True), 512),
+                          ("fista-hp", dict(hp=True, accelerate=True),
+                           1024)):
+        k, tw = lasso_conv(kw, mi)
+        print(f"lasso-to-tol[{label}]: micro k={k} wall={tw*1e3:.2f}ms",
+              flush=True)
+
     # TV 512x512
     tvp = problems.build("tv")
     ti = tvp.instance

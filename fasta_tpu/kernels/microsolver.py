@@ -53,6 +53,8 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                  hp=False, accelerate=False, restart=True,
                  restart_dd=False):
     from .. import precision as prec
+    from .ddreduce import dd_dot_rows as dd_dot
+    from .ddreduce import dd_reduce
 
     mxu_prec = jax.lax.Precision.HIGHEST
 
@@ -62,40 +64,6 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         b = b_ref[:]                       # (1, m)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
-
-        def dd_reduce_row(phi, plo):
-            """Compensated sum of a (1, L) part row to a scalar DD:
-            lane-half folds to ≤128 lanes, then a log₂ butterfly
-            all-reduce via circular rolls — all vectorized VPU ops, so
-            oracle-grade decision scalars cost no extra dispatches
-            in-kernel.  Non-pow2 L is zero-padded first (zeros are
-            exact in two_sum/two_prod chains)."""
-            L = phi.shape[1]
-            p2 = 1 << (L - 1).bit_length()
-            if p2 != L:
-                z = jnp.zeros((1, p2 - L), jnp.float32)
-                phi = jnp.concatenate([phi, z], axis=1)
-                plo = jnp.concatenate([plo, z], axis=1)
-                L = p2
-            while L > 128:
-                half = L // 2
-                s = prec.dd_add(prec.DD(phi[:, :half], plo[:, :half]),
-                                prec.DD(phi[:, half:], plo[:, half:]))
-                phi, plo = s.hi, s.lo
-                L = half
-            off = L // 2
-            while off >= 1:
-                s = prec.dd_add(
-                    prec.DD(phi, plo),
-                    prec.DD(pltpu.roll(phi, off, 1),
-                            pltpu.roll(plo, off, 1)))
-                phi, plo = s.hi, s.lo
-                off //= 2
-            return prec.DD(phi[0, 0], plo[0, 0])
-
-        def dd_dot(u, v):
-            p_, e_ = prec.two_prod(u, v)
-            return dd_reduce_row(p_, e_)
 
         def fwd(x):
             """d = x Aᵀ : (1,n)·(m,n)ᵀ → (1,m)."""
@@ -120,7 +88,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
             r = d - b
             if hp:
                 p_, e_ = prec.two_prod(r, r)
-                return prec.dd_scale(dd_reduce_row(p_, e_), 0.5)
+                return prec.dd_scale(dd_reduce(p_, e_), 0.5)
             return 0.5 * jnp.sum(r * r)
 
         def f_hi(f):

@@ -35,6 +35,7 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
                  restart_dd=False):
     from .. import precision as prec
+    from .ddreduce import dd_dot_rows, dd_reduce
 
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
                xv_ref, xh_ref, taus_ref, res_ref, k_ref, conv_ref):
@@ -46,57 +47,10 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
         mrow = (ridx < h - 1).astype(jnp.float32)
         mcol = (cidx < w - 1).astype(jnp.float32)
 
-        def dd_reduce(phi, plo):
-            """Compensated (double-word) sum of an (h,w) part array to a
-            scalar DD: sublane halving tree → lane-chunk folds to ≤128 →
-            log₂-step butterfly all-reduce via circular rolls.  All
-            fully vectorized VPU ops — in-kernel there is no per-kernel
-            dispatch cost, which is what makes oracle-grade decision
-            scalars affordable inside the whole-solve loop.  Non-pow2
-            dims are zero-padded to the next power of two up front —
-            zeros are EXACT in two_sum/two_prod chains, so the dd value
-            is unchanged."""
-            hh = phi.shape[0]
-            hp2 = 1 << (hh - 1).bit_length()
-            if hp2 != hh:
-                z = jnp.zeros((hp2 - hh, phi.shape[1]), jnp.float32)
-                phi = jnp.concatenate([phi, z], axis=0)
-                plo = jnp.concatenate([plo, z], axis=0)
-                hh = hp2
-            while hh > 1:
-                half = hh // 2
-                s = prec.dd_add(prec.DD(phi[:half], plo[:half]),
-                                prec.DD(phi[half:], plo[half:]))
-                phi, plo = s.hi, s.lo
-                hh = half
-            ww = phi.shape[1]
-            wp2 = 1 << (ww - 1).bit_length()
-            if wp2 != ww:
-                z = jnp.zeros((phi.shape[0], wp2 - ww), jnp.float32)
-                phi = jnp.concatenate([phi, z], axis=1)
-                plo = jnp.concatenate([plo, z], axis=1)
-                ww = wp2
-            while ww > 128:
-                half = ww // 2
-                s = prec.dd_add(prec.DD(phi[:, :half], plo[:, :half]),
-                                prec.DD(phi[:, half:], plo[:, half:]))
-                phi, plo = s.hi, s.lo
-                ww = half
-            off = ww // 2
-            while off >= 1:
-                s = prec.dd_add(
-                    prec.DD(phi, plo),
-                    prec.DD(pltpu.roll(phi, off, 1),
-                            pltpu.roll(plo, off, 1)))
-                phi, plo = s.hi, s.lo
-                off //= 2
-            return prec.DD(phi[0, 0], plo[0, 0])
-
         def dd_dot2(av, ah, bv, bh):
-            """Re⟨(av,ah),(bv,bh)⟩ over both dual channels in dd."""
-            pv_, ev_ = prec.two_prod(av, bv)
-            ph_, eh_ = prec.two_prod(ah, bh)
-            return prec.dd_add(dd_reduce(pv_, ev_), dd_reduce(ph_, eh_))
+            """Re⟨(av,ah),(bv,bh)⟩ over both dual channels in dd
+            (shared vectorized in-kernel reduction: kernels/ddreduce)."""
+            return prec.dd_add(dd_dot_rows(av, bv), dd_dot_rows(ah, bh))
 
         def fwd(pv, ph):
             """d = μ·div p — the forward stencil (A application)."""
