@@ -65,6 +65,15 @@ def main():
     print(f"lasso: micro {1000/tm:.0f} it/s | xla {1000/tx:.0f} it/s "
           f"({tx/tm:.2f}x)", flush=True)
 
+    # LEAN serving mode: same math, no per-iteration recording kernels
+    solve_lean = make_solver(FastaOptions(max_iters=1000,
+                                          stop_rule="iterations",
+                                          record_diagnostics=False))
+    tx_lean = _t(lambda: solve_lean(*args))
+    print(f"lasso-lean: xla {1000/tx_lean:.0f} it/s "
+          f"({tx/tx_lean:.2f}x the recorded loop; micro is "
+          f"{tx_lean/tm:.2f}x lean)", flush=True)
+
     # dense microsolver hp + FISTA (round-3 additions): steady rates
     # and the wall-to-tol contest vs the XLA hp loop
     tm_hp = _t(lambda: microsolve_lasso(A, b, x0, 0.05, inst["mu"],

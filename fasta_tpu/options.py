@@ -56,6 +56,14 @@ class FastaOptions:
     stop_rule: str = "hybrid_residual"
     record_objective: bool = False
     record_iterates: bool = False
+    # LEAN serving mode: skip ALL per-iteration diagnostic recording
+    # (residuals/taus/fvals/backtracks arrays come back None).  The
+    # iteration math, stopping decisions and solution are unchanged —
+    # only the ~6 dynamic-update-slice kernels per iteration disappear,
+    # which matters on the latency-bound hot loop.  Incompatible with
+    # record_objective/record_iterates and with solve_path (which
+    # warm-starts from the recorded taus).
+    record_diagnostics: bool = True
     verbose: bool = False
     # TPU fast path: let the smooth term provide a fused one-pass
     # (d, f, grad) evaluation (Pallas kernel on TPU, mathematically
@@ -104,6 +112,11 @@ class FastaOptions:
             raise ValueError("window must be >= 1")
         if self.max_iters < 1:
             raise ValueError("max_iters must be >= 1")
+        if not self.record_diagnostics and (self.record_objective
+                                            or self.record_iterates):
+            raise ValueError(
+                "record_objective/record_iterates need "
+                "record_diagnostics=True")
 
     @property
     def shrink_factor(self) -> float:

@@ -274,17 +274,25 @@ def _make_solve_fn(opts: FastaOptions, with_state: bool = False,
             else:
                 fwin = jnp.full((W,), -jnp.inf, rdt).at[0].set(f0)
 
-            diags = Diagnostics(
-                residuals=jnp.zeros((opts.max_iters,), rdt),
-                norm_residuals=jnp.zeros((opts.max_iters,), rdt),
-                taus=jnp.zeros((opts.max_iters,), rdt),
-                fvals=jnp.zeros((opts.max_iters,), rdt),
-                objectives=(jnp.zeros((opts.max_iters,), rdt)
-                            if opts.record_objective else None),
-                backtracks=jnp.zeros((opts.max_iters,), jnp.int32),
-                iterates=(jnp.zeros((opts.max_iters,) + x0.shape, x0.dtype)
-                          if opts.record_iterates else None),
-            )
+            if opts.record_diagnostics:
+                diags = Diagnostics(
+                    residuals=jnp.zeros((opts.max_iters,), rdt),
+                    norm_residuals=jnp.zeros((opts.max_iters,), rdt),
+                    taus=jnp.zeros((opts.max_iters,), rdt),
+                    fvals=jnp.zeros((opts.max_iters,), rdt),
+                    objectives=(jnp.zeros((opts.max_iters,), rdt)
+                                if opts.record_objective else None),
+                    backtracks=jnp.zeros((opts.max_iters,), jnp.int32),
+                    iterates=(jnp.zeros((opts.max_iters,) + x0.shape,
+                                        x0.dtype)
+                              if opts.record_iterates else None),
+                )
+            else:
+                # LEAN mode: no per-iteration recording — the loop body
+                # carries no diagnostic arrays and pays no
+                # dynamic-update-slice kernels (latency-bound serving)
+                diags = Diagnostics(None, None, None, None, None, None,
+                                    None)
 
             state = SolverState(
                 k=jnp.zeros((), jnp.int32),
@@ -425,17 +433,20 @@ def _make_solve_fn(opts: FastaOptions, with_state: bool = False,
             f1_f = f_collapse(f1)
             obj = (f1_f + gterm.value(x1).astype(rdt)
                    if opts.record_objective else None)
-            new_diags = Diagnostics(
-                residuals=d_.residuals.at[k].set(res),
-                norm_residuals=d_.norm_residuals.at[k].set(nres),
-                taus=d_.taus.at[k].set(tau),
-                fvals=d_.fvals,          # written post-mode-update below
-                objectives=(d_.objectives.at[k].set(obj)
-                            if opts.record_objective else None),
-                backtracks=d_.backtracks.at[k].set(bt),
-                iterates=(d_.iterates.at[k].set(x1)
-                          if opts.record_iterates else None),
-            )
+            if opts.record_diagnostics:
+                new_diags = Diagnostics(
+                    residuals=d_.residuals.at[k].set(res),
+                    norm_residuals=d_.norm_residuals.at[k].set(nres),
+                    taus=d_.taus.at[k].set(tau),
+                    fvals=d_.fvals,      # written post-mode-update below
+                    objectives=(d_.objectives.at[k].set(obj)
+                                if opts.record_objective else None),
+                    backtracks=d_.backtracks.at[k].set(bt),
+                    iterates=(d_.iterates.at[k].set(x1)
+                              if opts.record_iterates else None),
+                )
+            else:
+                new_diags = d_
 
             new_obj = obj if opts.record_objective else res
             better = new_obj < s.min_objective
@@ -551,8 +562,9 @@ def _make_solve_fn(opts: FastaOptions, with_state: bool = False,
                                s.fwin.lo.at[idx].set(f_record.lo))
             else:
                 fwin = s.fwin.at[(k + 1) % W].set(f_record)
-            new_diags = new_diags._replace(
-                fvals=new_diags.fvals.at[k].set(f_collapse(f_record)))
+            if opts.record_diagnostics:
+                new_diags = new_diags._replace(
+                    fvals=new_diags.fvals.at[k].set(f_collapse(f_record)))
 
             # Oracle solution semantics: on a converged stop the loop
             # breaks at the prox iterate; at max-iters exhaustion the last
@@ -673,7 +685,9 @@ def make_stateful_solver(opts: FastaOptions):
 
 def _check_resume_diags(state: SolverState, opts: FastaOptions):
     d = state.diags
-    for optname, arr, want in (("record_objective", d.objectives,
+    for optname, arr, want in (("record_diagnostics", d.taus,
+                                opts.record_diagnostics),
+                               ("record_objective", d.objectives,
                                 opts.record_objective),
                                ("record_iterates", d.iterates,
                                 opts.record_iterates)):
@@ -779,6 +793,10 @@ def solve_path(op, fterm, gterms, x0, tau0,
     ``normalized_residual`` or interpret per-μ counts accordingly.
     """
     opts = opts or FastaOptions()
+    if not opts.record_diagnostics:
+        raise ValueError("solve_path warm-starts each leg from the "
+                         "previous recorded taus; record_diagnostics "
+                         "must stay True")
     key = _cache_key(opts)
     path_fn = _PATH_CACHE.get(key)
     if path_fn is None:
@@ -864,23 +882,25 @@ def fasta(
     solve_time = time.perf_counter() - t0
 
     k = int(out.iteration_count)
+
+    def trim(a):
+        return np.asarray(a)[:k] if a is not None else None
+
     return FastaResult(
         solution=np.asarray(out.solution),
         best_iterate=np.asarray(out.best_iterate),
         iteration_count=k,
         converged=bool(out.converged),
-        residuals=np.asarray(out.residuals)[:k],
-        norm_residuals=np.asarray(out.norm_residuals)[:k],
-        taus=np.asarray(out.taus)[:k],
-        fvals=np.asarray(out.fvals)[:k],
-        objectives=(np.asarray(out.objectives)[:k]
-                    if out.objectives is not None else None),
-        backtracks=np.asarray(out.backtracks)[:k],
+        residuals=trim(out.residuals),
+        norm_residuals=trim(out.norm_residuals),
+        taus=trim(out.taus),
+        fvals=trim(out.fvals),
+        objectives=trim(out.objectives),
+        backtracks=trim(out.backtracks),
         total_backtracks=int(out.total_backtracks),
         solve_time=solve_time,
         L_estimate=L_est,
         initial_tau=initial_tau,
-        iterates=(np.asarray(out.iterates)[:k]
-                  if out.iterates is not None else None),
+        iterates=trim(out.iterates),
         nonfinite=bool(out.nonfinite),
     )

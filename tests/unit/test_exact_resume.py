@@ -102,6 +102,29 @@ def test_resume_rejects_short_budget_and_mismatched_recording():
                                   record_objective=True))
 
 
+def test_resume_bitwise_sharded():
+    """Exact resume composes with the row-sharded mesh: the saved carry
+    keeps its shardings (device arrays) and the continuation replays
+    the uninterrupted sharded run bit-for-bit."""
+    import jax
+
+    from fasta_tpu import sharding as sh
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs 8 virtual devices")
+    prob = problems.build("lasso", m=64, n=48, k=6, dtype=jnp.float64)
+    mesh = sh.make_mesh()
+    sp = sh.shard_problem(prob, mesh)
+    args = (sp.op, sp.fterm, sp.gterm, jnp.asarray(sp.x0),
+            jnp.asarray(0.05, jnp.float64))
+    opts30 = FastaOptions(max_iters=30, stop_rule="iterations")
+    opts60 = FastaOptions(max_iters=60, stop_rule="iterations")
+    _, s30 = make_stateful_solver(opts30)(*args)
+    r_resumed, _ = resume_state(sp.op, sp.fterm, sp.gterm, s30, opts60)
+    r_full, _ = make_stateful_solver(opts60)(*args)
+    _assert_bitwise(r_resumed, r_full)
+
+
 def test_resume_continues_recorded_diagnostics():
     """Diagnostics written before the checkpoint must still be in the
     resumed result (the cursor continues; earlier slots intact)."""

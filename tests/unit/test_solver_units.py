@@ -160,6 +160,38 @@ def test_solver_cache_reuse():
     assert ft.make_solver(opts) is ft.make_solver(opts)
 
 
+def test_lean_mode_trajectory_invariant():
+    """record_diagnostics=False must not change the math: identical
+    iteration count, solution and backtrack total; diagnostic arrays
+    come back None (the loop body just drops ~6 update-slice kernels)."""
+    import problems as _problems
+    prob = _problems.build("lasso", m=64, n=96, k=8, dtype=jnp.float64)
+    prob.tau0 = 0.05
+    for kw in (dict(), dict(adaptive=False, accelerate=True)):
+        r_full = prob.solve(tol=1e-8, max_iters=120, **kw)
+        r_lean = prob.solve(tol=1e-8, max_iters=120,
+                            record_diagnostics=False, **kw)
+        assert r_lean.iteration_count == r_full.iteration_count
+        assert r_lean.total_backtracks == r_full.total_backtracks
+        np.testing.assert_array_equal(r_lean.solution, r_full.solution)
+        assert r_lean.taus is None and r_lean.residuals is None
+        assert r_lean.fvals is None and r_lean.backtracks is None
+
+
+def test_lean_mode_option_validation():
+    with pytest.raises(ValueError, match="record_diagnostics"):
+        ft.FastaOptions(record_diagnostics=False, record_objective=True)
+    with pytest.raises(ValueError, match="record_diagnostics"):
+        from fasta_tpu import solve_path
+        import problems as _problems
+        prob = _problems.build("lasso", m=32, n=48, k=4,
+                               dtype=jnp.float64)
+        solve_path(prob.op, prob.fterm,
+                   ft.L1Norm(jnp.asarray([0.3, 0.1])),
+                   jnp.asarray(prob.x0), 0.05,
+                   ft.FastaOptions(record_diagnostics=False))
+
+
 def test_solver_cache_bounded():
     """Cycling more option sets than the LRU capacity must not grow the
     executable cache without bound (round-2 VERDICT weak #5) — and the
