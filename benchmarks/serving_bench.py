@@ -78,6 +78,17 @@ def main():
         print(f"tv{hw} single XLA hp loop: {w*1e3:8.1f} ms "
               f"({int(o.iteration_count)} iters)")
 
+        # lean serving mode: no per-iteration recording kernels.  The
+        # completion barrier reads the solution (taus is None).
+        solve_lean = make_solver(opts.replace(record_diagnostics=False))
+
+        def run_lean():
+            return solve_lean(op, probs[0].fterm, gt, x0s[0],
+                              tau0).solution
+        w2, _o2 = _timed(run_lean, rtt)
+        print(f"tv{hw} single XLA hp loop (lean): {w2*1e3:8.1f} ms "
+              f"({w/w2:.2f}x the recorded loop)")
+
         ti = probs[0].instance
         bb = jnp.asarray(ti["b"], jnp.float32)
         p0 = jnp.asarray(ti["x0"], jnp.float32)
