@@ -99,6 +99,38 @@ def main():
         print(f"lasso-to-tol[{label}]: micro k={k} wall={tw*1e3:.2f}ms",
               flush=True)
 
+    # planar PhaseMax 16384x256 (flagship; Ar+Ai = 33.5 MB VMEM-resident)
+    from fasta_tpu.kernels.microsolver_planar import (
+        microsolve_planar_phasemax)
+    pr = problems.build("phase_retrieval", planar=True,
+                        dtype=jnp.float32)
+    Ar = jnp.asarray(pr.op.Ar)
+    Ai = jnp.asarray(pr.op.Ai)
+    bp = jnp.asarray(pr.fterm.b)
+    cp = jnp.asarray(pr.gterm.c)
+    xp0 = jnp.asarray(pr.x0)
+    tm = _t(lambda: microsolve_planar_phasemax(
+        Ar, Ai, bp, cp, xp0, 1.0, max_iters=300, tol=0.0))
+    solve = make_solver(FastaOptions(max_iters=300,
+                                     stop_rule="iterations"))
+    argsp = (pr.op, pr.fterm, pr.gterm, jnp.asarray(pr.x0),
+             jnp.asarray(1.0, jnp.float32))
+    tx = _t(lambda: solve(*argsp))
+    print(f"planar-pr: micro {300/tm:.0f} it/s | xla {300/tx:.0f} it/s "
+          f"({tx/tm:.2f}x)", flush=True)
+
+    def pr_conv(kw, mi):
+        def run():
+            _x, _t_, _r, kk, _c = microsolve_planar_phasemax(
+                Ar, Ai, bp, cp, xp0, 1.0, max_iters=mi, tol=1e-5, **kw)
+            return kk
+        return int(run()), _t(run)
+    for label, kw in (("adapt", dict()), ("adapt-hp", dict(hp=True)),
+                      ("fista-hp", dict(hp=True, accelerate=True))):
+        k, tw = pr_conv(kw, 512)
+        print(f"planar-pr-to-tol[{label}]: micro k={k} "
+              f"wall={tw*1e3:.2f}ms", flush=True)
+
     # TV 512x512
     tvp = problems.build("tv")
     ti = tvp.instance

@@ -11,6 +11,8 @@ from .lstsq_fused import (
     supports_fusion,
 )
 from .microsolver import microsolve_lasso, supports_microsolver
+from .microsolver_planar import (microsolve_planar_phasemax,
+                                 supports_planar_microsolver)
 from .microsolver_tv import microsolve_tv
 from .planar_fused import (
     fused_planar_hinge_gradmap, fused_planar_lstsq_gradmap,
@@ -28,5 +30,6 @@ __all__ = [
     "supports_planar_fusion",
     "fused_shrink_step", "shrink_step_reference", "fused_tv_gradmap",
     "tv_gradmap_reference", "microsolve_lasso", "supports_microsolver",
-    "microsolve_tv",
+    "microsolve_tv", "microsolve_planar_phasemax",
+    "supports_planar_microsolver",
 ]

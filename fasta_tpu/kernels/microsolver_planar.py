@@ -1,0 +1,374 @@
+"""On-chip PLANAR-complex microsolver: the whole PhaseMax solve in ONE
+kernel launch.
+
+The flagship phase-retrieval config (SURVEY.md §3.4: 16384×256 complex)
+stores planar as Ar+Ai = 33.5 MB — comfortably VMEM-resident — yet its
+jitted XLA loop spends ~93 µs/iteration, mostly kernel-launch and loop
+overhead (the arithmetic is ~67 MFLOP/iter).  Same cure as the dense and
+TV microsolvers: run the ENTIRE FBS loop on-core — both channel matrices
+pinned in VMEM across all iterations, the planar matvec pair, the
+PhaseMax hinge, the linear-anchor prox, nonmonotone backtracking, the
+ZGD BB stepsize (or FISTA + O'Donoghue–Candès restart), hybrid stopping
+and the diagnostics ring — with zero per-iteration launches.
+
+Problem solved (PhaseMax penalized form, problems/phase_retrieval.py):
+
+    min_x  ½ Σ max(|Ax| − b, 0)²  −  ⟨c, x⟩ ,      prox(z, τ) = z + τ·c
+
+on planar x ∈ ℝ^{n×2}.  Iteration math mirrors solver.py / the oracle;
+``hp=True`` runs the decision scalars in in-kernel double-word f32
+(shared kernels/ddreduce.py folds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["microsolve_planar_phasemax", "supports_planar_microsolver"]
+
+_WPAD = 128
+
+
+def supports_planar_microsolver(m: int, n: int) -> bool:
+    """Both channel matrices + carry vectors must sit in VMEM."""
+    return 2 * m * n * 4 <= (48 << 20)
+
+
+def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
+                 max_backtracks, kpad, hp, accelerate, restart,
+                 restart_dd, engine):
+    from .. import precision as prec
+    from .ddreduce import dd_dot_rows
+
+    mxu_prec = jax.lax.Precision.HIGHEST
+
+    def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
+               x_ref, taus_ref, res_ref, k_ref, conv_ref):
+        Ar = Ar_ref[:]                    # (m, n) pinned in VMEM
+        Ai = Ai_ref[:]
+        b = b_ref[:]                      # (1, m) magnitudes
+        c = c_ref[:]                      # (2, n) anchor channels
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+
+        def dd_dot2(ur, ui, vr, vi):
+            return prec.dd_add(dd_dot_rows(ur, vr), dd_dot_rows(ui, vi))
+
+        def _mv(u, M, adjoint):
+            if engine == "vpu":
+                if adjoint:
+                    return jnp.sum(M * u.reshape(m, 1),
+                                   axis=0).reshape(1, n)
+                return jnp.sum(M * u, axis=1).reshape(1, m)
+            dims = (((1,), (0,)), ((), ())) if adjoint \
+                else (((1,), (1,)), ((), ()))
+            return jax.lax.dot_general(
+                u, M, dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=mxu_prec)
+
+        def fwd(xr, xi):
+            """(dr, di) = planar A x on (1,n) channel rows → (1,m)."""
+            return (_mv(xr, Ar, False) - _mv(xi, Ai, False),
+                    _mv(xi, Ar, False) + _mv(xr, Ai, False))
+
+        def adj(yr, yi):
+            """(gr, gi) = planar Aᴴ y → (1,n)."""
+            return (_mv(yr, Ar, True) + _mv(yi, Ai, True),
+                    _mv(yi, Ar, True) - _mv(yr, Ai, True))
+
+        def hinge(dr, di):
+            """(f, ℓr, ℓi): PhaseMax hinge value + elementwise grad."""
+            mag = jnp.sqrt(dr * dr + di * di)
+            r = jnp.maximum(mag - b, 0.0)
+            s = r / jnp.maximum(mag, 1e-30)
+            if hp:
+                p_, e_ = prec.two_prod(r, r)
+                from .ddreduce import dd_reduce
+                f = prec.dd_scale(dd_reduce(p_, e_), 0.5)
+            else:
+                f = 0.5 * jnp.sum(r * r)
+            return f, s * dr, s * di
+
+        def f_hi(f):
+            return f.hi if hp else f
+
+        def prox(zr, zi, tau):
+            """prox of g(x) = −⟨c, x⟩:  z + τ·c."""
+            return zr + tau * c[0:1], zi + tau * c[1:2]
+
+        x0r = x0_ref[0:1]                 # (1, n) channels
+        x0i = x0_ref[1:2]
+        tau0 = ts_ref[0]
+        d0r, d0i = fwd(x0r, x0i)
+        f0, l0r, l0i = hinge(d0r, d0i)
+        g0r, g0i = adj(l0r, l0i)
+        neg = jnp.full((1, _WPAD), -jnp.inf, jnp.float32)
+        fwin = jnp.where(lane_w == 0, f_hi(f0), neg)
+        fwin_lo = (jnp.where(lane_w == 0, f0.lo,
+                             jnp.zeros((1, _WPAD), jnp.float32)) if hp
+                   else None)
+
+        def cond(cy):
+            return (cy[0] < max_iters) & (~cy[1])
+
+        def window_max(fwin_c, fwlo_c):
+            if hp:
+                mhi = jnp.max(fwin_c)
+                mlo = jnp.max(jnp.where(fwin_c == mhi, fwlo_c, -jnp.inf))
+                return prec.DD(mhi, mlo)
+            return jnp.max(fwin_c)
+
+        def backtrack(fb, first, tau, gr_c, gi_c, M):
+            """fb(tau) → (x1r, x1i, dxr, dxi, f1, *rest)."""
+            def bt_cond(bc):
+                tau_b = bc[0]
+                dxr_b, dxi_b, f1_b = bc[3], bc[4], bc[5]
+                cnt = bc[-1]
+                nd2 = jnp.sum(dxr_b * dxr_b) + jnp.sum(dxi_b * dxi_b)
+                if hp:
+                    slack = 1e-12 + (64.0 * 1.1920929e-07) \
+                        * (jnp.abs(M.hi)
+                           + jnp.abs(prec.dd_to_float(f1_b)))
+                    rdg = dd_dot2(dxr_b, dxi_b, gr_c, gi_c)
+                    suff = prec.dd_add(M, prec.dd_add(
+                        rdg, prec.dd(nd2 / (2.0 * tau_b))))
+                    viol = prec.dd_to_float(
+                        prec.dd_sub(f1_b, suff)) > slack
+                else:
+                    suff = (M + jnp.sum(dxr_b * gr_c)
+                            + jnp.sum(dxi_b * gi_c)
+                            + nd2 / (2.0 * tau_b))
+                    viol = f1_b - 1e-12 > suff
+                return viol & (cnt < max_backtracks)
+
+            def bt_body(bc):
+                tau_b, *_, cnt = bc
+                tau_n = tau_b * shrink_factor
+                return (tau_n,) + fb(tau_n) + (cnt + 1,)
+
+            out = jax.lax.while_loop(
+                bt_cond, bt_body,
+                (tau,) + first + (jnp.zeros((), jnp.int32),))
+            return out[:-1]
+
+        def resid_stop(tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c,
+                       maxres_c):
+            nd2 = jnp.sum(dxr * dxr) + jnp.sum(dxi * dxi)
+            res = jnp.sqrt(nd2) / tau
+            maxres = jnp.maximum(maxres_c, res)
+            smr = x1r - zr
+            smi = x1i - zi
+            ng2 = jnp.sum(gr_c * gr_c) + jnp.sum(gi_c * gi_c)
+            nsm2 = jnp.sum(smr * smr) + jnp.sum(smi * smi)
+            normalizer = jnp.maximum(jnp.sqrt(ng2),
+                                     jnp.sqrt(nsm2) / tau) + 1e-8
+            nres = res / normalizer
+            stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+            return nd2, res, maxres, stop
+
+        if accelerate:
+            def body(cy):
+                (k, _s, yr, yi, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
+                 maxres_c, taus_c, res_c, xar, xai, dar, dai,
+                 alpha_c) = cy
+
+                def fb(tau):
+                    zr = yr - tau * gr_c
+                    zi = yi - tau * gi_c
+                    x1r, x1i = prox(zr, zi, tau)
+                    dxr = x1r - yr
+                    dxi = x1i - yi
+                    d1r, d1i = fwd(x1r, x1i)
+                    f1, _lr, _li = hinge(d1r, d1i)
+                    # trials need only f; the gradient is evaluated at
+                    # the extrapolated point after acceptance
+                    return x1r, x1i, dxr, dxi, f1, zr, zi, d1r, d1i
+
+                tau = tau_c
+                first = fb(tau)
+                M = window_max(fwin_c, fwlo_c)
+                (tau, x1r, x1i, dxr, dxi, f1, zr, zi,
+                 d1r, d1i) = backtrack(fb, first, tau, gr_c, gi_c, M)
+
+                _nd2, res, maxres, stop = resid_stop(
+                    tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c,
+                    maxres_c)
+                taus_n = jnp.where(lane_k == k, tau, taus_c)
+                res_n = jnp.where(lane_k == k, res, res_c)
+
+                if hp and restart_dd:
+                    rdot = prec.dd_to_float(dd_dot2(
+                        yr - x1r, yi - x1i, x1r - xar, x1i - xai))
+                else:
+                    rdot = (jnp.sum((yr - x1r) * (x1r - xar))
+                            + jnp.sum((yi - x1i) * (x1i - xai)))
+                alpha0 = (jnp.where(rdot > 0.0, 1.0, alpha_c)
+                          if restart else alpha_c)
+                alpha1 = (1.0
+                          + jnp.sqrt(1.0 + 4.0 * alpha0 * alpha0)) / 2.0
+                beta = (alpha0 - 1.0) / alpha1
+                yr_n = x1r + beta * (x1r - xar)
+                yi_n = x1i + beta * (x1i - xai)
+                dr_n = d1r + beta * (d1r - dar)     # A linear
+                di_n = d1i + beta * (d1i - dai)
+                f_n, lr_n, li_n = hinge(dr_n, di_n)
+                gr_n, gi_n = adj(lr_n, li_n)
+                if hp:
+                    f_rec = prec.dd_where(stop, f1, f_n)
+                    fwlo_n = jnp.where(lane_w == (k + 1) % window,
+                                       f_rec.lo, fwlo_c)
+                else:
+                    f_rec = jnp.where(stop, f1, f_n)
+                    fwlo_n = None
+                fwin_n = jnp.where(lane_w == (k + 1) % window,
+                                   f_hi(f_rec), fwin_c)
+
+                return (k + 1, stop, yr_n, yi_n, gr_n, gi_n, tau,
+                        fwin_n, fwlo_n, maxres, taus_n, res_n,
+                        x1r, x1i, d1r, d1i, alpha1)
+
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+                    x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
+                    jnp.asarray(-jnp.inf, jnp.float32),
+                    jnp.zeros((1, kpad), jnp.float32),
+                    jnp.zeros((1, kpad), jnp.float32),
+                    x0r, x0i, d0r, d0i, jnp.asarray(1.0, jnp.float32))
+            (k, stop, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, taus_f,
+             res_f, xar_f, xai_f, _dr, _di,
+             _a) = jax.lax.while_loop(cond, body, init)
+            xr_out = jnp.where(stop, xar_f, yr_f)
+            xi_out = jnp.where(stop, xai_f, yi_f)
+            x_ref[0:1] = xr_out
+            x_ref[1:2] = xi_out
+            taus_ref[:] = taus_f
+            res_ref[:] = res_f
+            k_ref[0, 0] = k
+            conv_ref[0, 0] = stop.astype(jnp.int32)
+            return
+
+        def body(cy):
+            (k, _s, xr_c, xi_c, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
+             maxres_c, taus_c, res_c) = cy
+
+            def fb(tau):
+                zr = xr_c - tau * gr_c
+                zi = xi_c - tau * gi_c
+                x1r, x1i = prox(zr, zi, tau)
+                dxr = x1r - xr_c
+                dxi = x1i - xi_c
+                d1r, d1i = fwd(x1r, x1i)
+                f1, lr, li = hinge(d1r, d1i)
+                g1r, g1i = adj(lr, li)
+                return x1r, x1i, dxr, dxi, f1, zr, zi, g1r, g1i
+
+            tau = tau_c
+            first = fb(tau)
+            M = window_max(fwin_c, fwlo_c)
+            (tau, x1r, x1i, dxr, dxi, f1, zr, zi, g1r,
+             g1i) = backtrack(fb, first, tau, gr_c, gi_c, M)
+
+            nd2, res, maxres, stop = resid_stop(
+                tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c, maxres_c)
+            taus_n = jnp.where(lane_k == k, tau, taus_c)
+            res_n = jnp.where(lane_k == k, res, res_c)
+            fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
+                               fwin_c)
+            fwlo_n = (jnp.where(lane_w == (k + 1) % window, f1.lo,
+                                fwlo_c) if hp else None)
+
+            dgr = g1r + (zr - xr_c) / tau
+            dgi = g1i + (zi - xi_c) / tau
+            if hp:
+                dotprod = prec.dd_to_float(dd_dot2(dxr, dxi, dgr, dgi))
+            else:
+                dotprod = jnp.sum(dxr * dgr) + jnp.sum(dxi * dgi)
+            ndg2 = jnp.sum(dgr * dgr) + jnp.sum(dgi * dgi)
+            tau_s = jnp.where(dotprod != 0.0, nd2 / dotprod, jnp.inf)
+            tau_m = jnp.maximum(
+                jnp.where(ndg2 > 0.0, dotprod / ndg2, 0.0), 0.0)
+            tau_n = jnp.where(2.0 * tau_m > tau_s, tau_m,
+                              tau_s - 0.5 * tau_m)
+            bad = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
+            tau_n = jnp.where(bad, tau * 1.5, tau_n)
+
+            return (k + 1, stop, x1r, x1i, g1r, g1i, tau_n, fwin_n,
+                    fwlo_n, maxres, taus_n, res_n)
+
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+                x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
+                jnp.asarray(-jnp.inf, jnp.float32),
+                jnp.zeros((1, kpad), jnp.float32),
+                jnp.zeros((1, kpad), jnp.float32))
+        (k, stop, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, taus_f,
+         res_f) = jax.lax.while_loop(cond, body, init)
+        x_ref[0:1] = xr_f
+        x_ref[1:2] = xi_f
+        taus_ref[:] = taus_f
+        res_ref[:] = res_f
+        k_ref[0, 0] = k
+        conv_ref[0, 0] = stop.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "window", "tol", "shrink_factor",
+                     "max_backtracks", "interpret", "hp", "accelerate",
+                     "restart", "restart_dd", "engine"))
+def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
+                               window=10, tol=1e-3, shrink_factor=0.2,
+                               max_backtracks=20, interpret=False,
+                               hp=False, accelerate=False, restart=True,
+                               restart_dd=False, engine="mxu"):
+    """Whole-solve kernel for planar PhaseMax
+    ``min ½Σ max(|Ax|−b,0)² − ⟨c,x⟩`` (adaptive BB or FISTA mode).
+
+    Ar/Ai: (m,n) real channel matrices; b: (m,) magnitudes; c: (n,2)
+    planar anchor; x0: (n,2) planar start.  Returns (x: (n,2), taus,
+    residuals, iteration_count, converged).  Same option semantics as
+    the dense microsolver (kernels/microsolver.py).
+    """
+    m, n = Ar.shape
+    kpad = ((max_iters + 127) // 128) * 128
+    kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
+                        max_backtracks, kpad, hp, accelerate, restart,
+                        restart_dd, engine)
+    ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
+    x, taus, res, k, conv = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (2,n)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b (1,m)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # c (2,n)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # Ar (m,n)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # Ai (m,n)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # x (2,n)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # taus
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # res
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # k
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # conv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 << 20,
+                                 6 * m * n * 4 + (48 << 20)),
+        ),
+        interpret=interpret,
+    )(x0.T.reshape(2, n), b.reshape(1, m), c.T.reshape(2, n), ts, Ar, Ai)
+    return (x.T, taus.reshape(kpad)[:max_iters],
+            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)

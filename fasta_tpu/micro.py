@@ -27,9 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .operators import DenseOp, ScaledOp, TVDiv2D
+from .operators import DenseOp, PlanarDenseOp, ScaledOp, TVDiv2D
 from .problem import Problem
-from .terms import BoxIndicator, L1Norm, LeastSquares, NonnegIndicator
+from .terms import (BoxIndicator, L1Norm, LeastSquares, NonnegIndicator,
+                    PlanarLinearAnchor, PlanarPhaseHinge)
 
 __all__ = ["MicroResult", "microsolve", "microsolve_supported"]
 
@@ -72,6 +73,16 @@ def _dispatch(problem: Problem):
         if not (g.lo == -1.0 and g.hi == 1.0):
             return None, "TV kernel implements the [-1,1] dual ball only"
         return "tv", float(op.c)
+
+    if (isinstance(op, PlanarDenseOp) and isinstance(f, PlanarPhaseHinge)
+            and isinstance(g, PlanarLinearAnchor)):
+        from .kernels.microsolver_planar import supports_planar_microsolver
+        m, n = op.Ar.shape
+        if not supports_planar_microsolver(m, n):
+            return None, (f"planar PhaseMax kernel needs both channel "
+                          f"matrices VMEM-resident (2*{m}*{n}*4 bytes "
+                          f"> 48 MB)")
+        return "planar", None
 
     if isinstance(op, DenseOp) and isinstance(f, LeastSquares):
         nd = jnp.ndim(f.b)
@@ -147,7 +158,24 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         interpret = jax.default_backend() != "tpu"
 
     t0 = time.perf_counter()
-    if kind == "tv":
+    if kind == "planar":
+        from .kernels.microsolver_planar import microsolve_planar_phasemax
+
+        if engine is not None and engine not in ("mxu", "vpu"):
+            raise ValueError(f"unknown engine {engine!r}")
+        x, taus, res, k, conv = microsolve_planar_phasemax(
+            jnp.asarray(problem.op.Ar, jnp.float32),
+            jnp.asarray(problem.op.Ai, jnp.float32),
+            jnp.asarray(problem.fterm.b, jnp.float32),
+            jnp.asarray(problem.gterm.c, jnp.float32),
+            jnp.asarray(problem.x0, jnp.float32),
+            tau0, max_iters=max_iters, window=window, tol=tol,
+            shrink_factor=shrink_factor, max_backtracks=max_backtracks,
+            interpret=interpret, hp=bool(hp), accelerate=accelerate,
+            restart=restart, restart_dd=restart_dd,
+            engine=engine or "mxu")
+        sol = x
+    elif kind == "tv":
         from .kernels.microsolver_tv import microsolve_tv
 
         if engine is not None:
