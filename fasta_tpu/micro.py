@@ -105,7 +105,7 @@ def _dispatch(problem: Problem):
     return None, (f"no whole-solve kernel for operator "
                   f"{type(op).__name__} + smooth {type(f).__name__} "
                   f"(supported: ScaledOp(TVDiv2D) TV dual, DenseOp "
-                  f"least squares)")
+                  f"least squares, PlanarDenseOp PhaseMax)")
 
 
 def microsolve_supported(problem: Problem) -> tuple:
@@ -152,8 +152,13 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     if tau0 is None:
         tau0 = problem.tau0
     if tau0 is None:
-        raise ValueError("microsolve needs an explicit tau0 (the "
-                         "estimator lives in the XLA solver)")
+        # C8 fallback — one small XLA dispatch before the kernel launch,
+        # same estimator (and τ₀ = (2/L)/10 convention) as solve()
+        from .solver import estimate_stepsize
+        tau0_arr, _ = estimate_stepsize(problem.op, problem.fterm,
+                                        jnp.asarray(problem.x0,
+                                                    jnp.float32), key=0)
+        tau0 = float(tau0_arr)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

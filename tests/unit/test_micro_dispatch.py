@@ -19,6 +19,21 @@ def test_supported_reports_structures():
     assert not ok and "Logistic" in why
 
 
+def test_supported_reports_planar():
+    pr = problems.build("phase_retrieval", m=128, n=16, planar=True,
+                        dtype=jnp.float32)
+    assert microsolve_supported(pr) == (True, "planar")
+
+
+def test_auto_tau0_fallback():
+    """microsolve without any tau0 estimates one via the C8 estimator
+    (same (2/L)/10 convention as solve())."""
+    prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    prob.tau0 = None
+    r = microsolve(prob, max_iters=400, tol=1e-5)
+    assert r.converged
+
+
 def test_unsupported_raises_with_reason():
     prob = problems.build("logistic", m=64, n=32, dtype=jnp.float32)
     with pytest.raises(ValueError, match="Logistic"):
@@ -123,7 +138,5 @@ def test_restart_dd_reachable_from_dispatcher():
     assert r.converged
 
 
-def test_tau0_required():
-    prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="tau0"):
-        microsolve(prob, max_iters=10)
+# (tau0 is no longer required — microsolve falls back to the C8
+# estimator; covered by test_auto_tau0_fallback above.)
