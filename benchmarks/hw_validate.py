@@ -16,6 +16,8 @@ Checks (each prints a line; asserts abort):
     at 512x1024, then chained perf at 16384x4096 (512 MB planar)
  7. dense microsolver hp + FISTA on hardware: prefix parity vs the XLA
     hp path + wall at the 1000x2000 baseline
+ 8. planar PhaseMax microsolver: prefix parity vs the XLA path + wall
+    at the 16384x256 flagship (Ar+Ai pinned in VMEM)
 
 Usage: python benchmarks/hw_validate.py [--quick]
 """
@@ -205,5 +207,24 @@ for label, kw in (("plain", {}), ("hp", dict(hp=True)),
 print(f"[7] dense micro 1000x2000 HW: taus[0:10] match XLA hp rtol 1e-4; "
       + "; ".join(f"{k}: {v[0]*1e3:.1f} ms/{v[1]} iters"
                   for k, v in walls.items()))
+
+# ---- 8. planar PhaseMax microsolver on hardware ---------------------------
+ppr = problems.build("phase_retrieval", planar=True, dtype=jnp.float32)
+ppr.tau0 = 1.0
+r_pm = microsolve(ppr, max_iters=300, tol=0.0)
+rx_pm = make_solver(FastaOptions(max_iters=12, stop_rule="iterations",
+                                 precision="standard", fuse=False))(
+    ppr.op, ppr.fterm, ppr.gterm, jnp.asarray(ppr.x0),
+    jnp.asarray(1.0, jnp.float32))
+np.testing.assert_allclose(np.asarray(r_pm.taus[:12]),
+                           np.asarray(rx_pm.taus)[:12], rtol=5e-3)
+best = 1e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    rr = microsolve(ppr, max_iters=300, tol=1e-5, hp=True)
+    best = min(best, time.perf_counter() - t0 - rtt)
+print(f"[8] planar micro 16384x256 HW: taus[0:12] match XLA rtol 5e-3; "
+      f"to-tol {best*1e3:.1f} ms / {rr.iteration_count} iters "
+      f"(XLA loop was ~93 us/iter on 2026-08-17)")
 
 print("ALL REVALIDATION OK")
