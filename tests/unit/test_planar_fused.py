@@ -65,6 +65,44 @@ def test_planar_reference_matches_complex_formulation():
                                gc, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("loss", ["lstsq", "hinge"])
+def test_planar_gradmaps_match_autodiff(loss):
+    """The hand-written planar gradients equal jax.grad of the scalar
+    objective — an oracle-independent correctness check of the
+    conjugate-adjoint channel algebra."""
+    import jax
+
+    m, n = 48, 32
+    Ar, Ai, x = _planar(m, n)
+    if loss == "lstsq":
+        b = jnp.asarray(RNG.standard_normal((m, 2)), jnp.float32)
+
+        def f(x):
+            p = Ar @ x
+            q = Ai @ x
+            d = jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]],
+                          axis=-1)
+            r = d - b
+            return 0.5 * jnp.sum(r * r)
+        _, fv, g = planar_lstsq_gradmap_reference(Ar, Ai, x, b)
+    else:
+        b = jnp.abs(jnp.asarray(RNG.standard_normal(m), jnp.float32)) + 0.5
+
+        def f(x):
+            p = Ar @ x
+            q = Ai @ x
+            d = jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]],
+                          axis=-1)
+            mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
+            r = jnp.maximum(mag - b, 0.0)
+            return 0.5 * jnp.sum(r * r)
+        _, fv, g = planar_hinge_gradmap_reference(Ar, Ai, x, b)
+    assert float(fv) == pytest.approx(float(f(x)), rel=1e-5)
+    g_ad = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_planar_fusion_dispatch_gating():
     """supports_planar_fusion counts BOTH channel matrices toward the
     streaming threshold and never fires off-TPU."""
