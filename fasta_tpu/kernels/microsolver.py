@@ -56,7 +56,14 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
 
-    mxu_prec = jax.lax.Precision.HIGHEST
+    # "mxu" = HIGHEST (6-pass exact f32 — the validated default);
+    # "mxu3" = HIGH (bf16x3, 3 passes — near-f32 matvecs at half the
+    # MXU work; the hp decision scalars are unaffected, but the
+    # gradient itself carries ~2x the rounding of HIGHEST — A/B on
+    # hardware before promoting); "vpu" = broadcast-reduce on the
+    # vector units (exact f32).
+    mxu_prec = (jax.lax.Precision.HIGH if engine == "mxu3"
+                else jax.lax.Precision.HIGHEST)
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
                x_ref, taus_ref, res_ref, k_ref, conv_ref):

@@ -45,7 +45,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     from .. import precision as prec
     from .ddreduce import dd_dot_rows
 
-    mxu_prec = jax.lax.Precision.HIGHEST
+    # engine semantics shared with kernels/microsolver.py: "mxu"
+    # (HIGHEST), "mxu3" (bf16x3 HIGH — hardware A/B candidate), "vpu"
+    mxu_prec = (jax.lax.Precision.HIGH if engine == "mxu3"
+                else jax.lax.Precision.HIGHEST)
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
                x_ref, taus_ref, res_ref, k_ref, conv_ref):

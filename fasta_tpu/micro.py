@@ -161,13 +161,14 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         tau0 = float(tau0_arr)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if engine is not None and engine not in ("mxu", "mxu3", "vpu"):
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(choose mxu, mxu3 or vpu)")
 
     t0 = time.perf_counter()
     if kind == "planar":
         from .kernels.microsolver_planar import microsolve_planar_phasemax
 
-        if engine is not None and engine not in ("mxu", "vpu"):
-            raise ValueError(f"unknown engine {engine!r}")
         x, taus, res, k, conv = microsolve_planar_phasemax(
             jnp.asarray(problem.op.Ar, jnp.float32),
             jnp.asarray(problem.op.Ai, jnp.float32),
