@@ -65,6 +65,14 @@ def main():
     print(f"lasso: micro {1000/tm:.0f} it/s | xla {1000/tx:.0f} it/s "
           f"({tx/tm:.2f}x)", flush=True)
 
+    # matvec-engine A/B: HIGHEST (6-pass) vs bf16x3 (3-pass) vs VPU
+    for eng in ("mxu3", "vpu"):
+        te = _t(lambda: microsolve_lasso(A, b, x0, 0.05, inst["mu"],
+                                         max_iters=1000, tol=0.0,
+                                         engine=eng))
+        print(f"lasso[{eng}]: micro {1000/te:.0f} it/s "
+              f"({tm/te:.2f}x the mxu-HIGHEST kernel)", flush=True)
+
     # LEAN serving mode: same math, no per-iteration recording kernels
     solve_lean = make_solver(FastaOptions(max_iters=1000,
                                           stop_rule="iterations",

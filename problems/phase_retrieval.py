@@ -75,3 +75,12 @@ if __name__ == "__main__":
     problem = build(planar=jax.default_backend() == "tpu")
     print(format_comparison(problem, compare_modes(problem, tol=1e-6,
                                                    max_iters=1000)))
+    if jax.default_backend() == "tpu":
+        # the whole-solve planar PhaseMax kernel (Ar+Ai VMEM-resident)
+        for accel, label in ((False, "micro adaptive"),
+                             (True, "micro FISTA")):
+            r = problem.microsolve(tau0=1.0, tol=1e-5, max_iters=1000,
+                                   hp=True, accelerate=accel)
+            print(f"{label:>16}: {r.iteration_count:5d} iters, "
+                  f"converged={r.converged}, {r.solve_time*1e3:8.1f} ms "
+                  f"(incl. compile on cold cache)")
