@@ -77,10 +77,14 @@ def wait_for_backend(total_budget_s: float = 300.0,
                 return True
         except subprocess.TimeoutExpired:
             pass
-        print(f"# backend probe attempt {attempt} failed; retrying "
-              f"({deadline - time.monotonic():.0f}s budget left)",
+        left = max(deadline - time.monotonic(), 0)
+        print(f"# backend probe attempt {attempt} failed"
+              + (f"; retrying ({left:.0f}s budget left)" if left > 0
+                 else "; budget exhausted"),
               file=sys.stderr)
-        time.sleep(min(20, max(deadline - time.monotonic(), 0)))
+        if left <= 0:
+            break
+        time.sleep(min(20, left))
     return False
 
 
