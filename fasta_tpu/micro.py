@@ -135,9 +135,11 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     exact); it defaults ON for the TV kernel and OFF for the dense
     kernel (whose problems converge at plain f32 — docs/PERF.md), and
     either can be overridden explicitly.
-    ``engine`` (dense kernel; defaults to "mxu") picks the matvec
-    formulation.  Explicitly passing a kernel-specific option to the
-    other kernel raises — this API never silently drops a request.
+    ``engine`` (dense and planar kernels; defaults to "mxu") picks the
+    matvec formulation: "mxu" (HIGHEST, exact f32), "mxu3" (bf16x3 —
+    hardware A/B candidate) or "vpu".  Explicitly passing a
+    kernel-specific option to a kernel without it raises — this API
+    never silently drops a request.
     ``interpret=None`` auto-enables the Pallas interpreter off-TPU so
     the same call works in CPU tests.
 
