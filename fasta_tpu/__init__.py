@@ -44,7 +44,7 @@ from .terms import (
     L2Norm2, ZeroTerm, FunctionProx, as_smooth_term, as_prox_term,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "fasta", "solve", "make_solver", "make_stateful_solver",

@@ -39,10 +39,22 @@ _WORKER = textwrap.dedent("""
     tout = fn(stv.op, stv.fterm, stv.gterm, jnp.asarray(stv.x0), 2.0)
     tk = int(tout.iteration_count)
     ttaus = np.asarray(tout.taus)[:tk]
+    # planar 2-D mesh: (Ar, Ai) grid-sharded across both processes, the
+    # planar signal sharded on its signal axis — cross-process coverage
+    # of GridShardedPlanarDenseOp's two-psum gradmap
+    pr = problems.build("phase_retrieval", m=64, n=16, planar=True,
+                        dtype=jnp.float64)
+    mesh2 = sh.make_mesh_2d(2, 4)
+    spr = sh.shard_problem_2d(pr, mesh2)
+    assert isinstance(spr.op, sh.GridShardedPlanarDenseOp)
+    pout = fn(spr.op, spr.fterm, spr.gterm, jnp.asarray(spr.x0), 1.0)
+    pk = int(pout.iteration_count)
+    ptaus = np.asarray(pout.taus)[:pk]
     print(f"RESULT {k} {taus.sum():.17e} "
           f"{float(out.residuals[k-1]):.17e} "
           f"TV {tk} {ttaus.sum():.17e} "
-          f"{float(tout.residuals[tk-1]):.17e}", flush=True)
+          f"{float(tout.residuals[tk-1]):.17e} "
+          f"PR {pk} {ptaus.sum():.17e}", flush=True)
 """).replace("@REPO@", os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
 
