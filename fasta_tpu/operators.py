@@ -479,6 +479,34 @@ def as_linear_op(A: Any, At: Any = None) -> LinearOp:
             return SparseOp.from_scipy(A)
     except ImportError:                    # pragma: no cover
         pass
+    if callable(getattr(A, "matvec", None)) \
+            and callable(getattr(A, "rmatvec", None)) \
+            and hasattr(A, "shape"):
+        # (checked before the bare-callable branch: scipy's
+        # LinearOperator defines __call__ too)
+        # scipy.sparse.linalg.LinearOperator-style object (SURVEY.md L1:
+        # the reference accepts these).  scipy's methods are host-side
+        # NumPy and cannot trace, so route each application through
+        # jax.pure_callback — the jitted solver works unchanged, paying
+        # one host round trip per matvec.  A COMPATIBILITY path: for hot
+        # loops convert to DenseOp / SparseOp / a jax-native FunctionOp.
+        m, n = A.shape
+
+        def mv(x):
+            return jax.pure_callback(
+                lambda v: np.asarray(A.matvec(np.asarray(v)),
+                                     dtype=v.dtype),
+                jax.ShapeDtypeStruct((m,), jnp.asarray(x).dtype), x,
+                vmap_method="sequential")
+
+        def rmv(y):
+            return jax.pure_callback(
+                lambda v: np.asarray(A.rmatvec(np.asarray(v)),
+                                     dtype=v.dtype),
+                jax.ShapeDtypeStruct((n,), jnp.asarray(y).dtype), y,
+                vmap_method="sequential")
+
+        return FunctionOp(mv, rmv)
     if callable(A):
         if not callable(At):
             raise ValueError("A is a callable; At must be its adjoint callable")

@@ -97,3 +97,23 @@ def test_ops_are_pytrees():
     op2 = jax.tree_util.tree_unflatten(treedef, leaves)
     x = jnp.asarray(RNG.standard_normal(4))
     np.testing.assert_allclose(op(x), op2(x))
+
+
+def test_scipy_linear_operator_accepted():
+    """scipy.sparse.linalg.LinearOperator inputs (SURVEY.md L1) run
+    through jax.pure_callback — the jitted solver works unchanged,
+    paying one host round trip per matvec (compat path)."""
+    import scipy.sparse.linalg as spla
+
+    A = np.asarray(RNG.standard_normal((24, 16)))
+    op = ops.as_linear_op(spla.aslinearoperator(A))
+    x = jnp.asarray(RNG.standard_normal(16))
+    y = jnp.asarray(RNG.standard_normal(24))
+    np.testing.assert_allclose(np.asarray(op(x)), A @ np.asarray(x),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(y)),
+                               A.T @ np.asarray(y), rtol=1e-10)
+    # and under jit (the solver path)
+    out = jax.jit(lambda v: op.rmatvec(op(v)))(x)
+    np.testing.assert_allclose(np.asarray(out),
+                               A.T @ (A @ np.asarray(x)), rtol=1e-10)
