@@ -143,6 +143,27 @@ def model():
           "config projects ~80% at N=16, while the 173 us/iter phase-"
           "retrieval solve goes all-reduce-latency-bound past N=4)")
 
+    # 2-D planar wide-problem layout (GridShardedPlanarDenseOp): per
+    # iteration one col-axis psum assembling the (m/R, 2) d block over C
+    # chips and one row-axis psum of the (n/C, 2) gradient (+f scalar)
+    # over R chips.  Modeled for the flagship 16384x256 planar config
+    # on R=2 x C=N/2 meshes.
+    t1, m, n = 173e-6, 16384, 256
+    cells = []
+    for N in (2, 4, 8, 16):
+        R, C = (2, N // 2) if N > 2 else (2, 1)
+        comm = (_allreduce_time((m // R) * 2 * 4, C)
+                + _allreduce_time((n // C) * 2 * 4 + 4, R))
+        tN = t1 / N + comm
+        cells.append(f"{100 * t1 / (N * tN):>7.0f}%")
+    print(f"{'planar PR 16384x256 2-D (2xC) mesh':>34} " + "".join(cells)
+          + "  (two short rings instead of one long one: at this size"
+            " the all-reduce is LATENCY-bound, so splitting the mesh"
+            " halves the ring steps and beats the 1-D row layout even"
+            " though the col-psum moves m/R-sized blocks; for"
+            " bandwidth-bound regimes the 1-D layout's n-vector psum"
+            " wins when m >> n)")
+
 
 if __name__ == "__main__":
     main()
