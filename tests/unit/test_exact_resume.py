@@ -125,6 +125,25 @@ def test_resume_bitwise_sharded():
     _assert_bitwise(r_resumed, r_full)
 
 
+def test_resume_bitwise_lean_mode(tmp_path):
+    """Exact resume composes with lean mode: a diagnostics-free carry
+    roundtrips and continues bit-identically."""
+    args = _args()
+    o30 = FastaOptions(max_iters=30, stop_rule="iterations",
+                       record_diagnostics=False)
+    o60 = FastaOptions(max_iters=60, stop_rule="iterations",
+                       record_diagnostics=False)
+    _, s30 = make_stateful_solver(o30)(*args)
+    p = str(tmp_path / "lean.npz")
+    checkpoint.save_pytree(s30, p)
+    s = checkpoint.load_pytree(s30, p)
+    r2, _ = resume_state(args[0], args[1], args[2], s, o60)
+    rf, _ = make_stateful_solver(o60)(*args)
+    np.testing.assert_array_equal(np.asarray(r2.solution),
+                                  np.asarray(rf.solution))
+    assert r2.taus is None
+
+
 def test_resume_continues_recorded_diagnostics():
     """Diagnostics written before the checkpoint must still be in the
     resumed result (the cursor continues; earlier slots intact)."""
