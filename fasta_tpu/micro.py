@@ -187,9 +187,9 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         from .kernels.microsolver_tv import microsolve_tv
 
         if engine is not None:
-            raise ValueError("engine selects the dense kernel's matvec "
-                             "formulation; the TV kernel has none — "
-                             "omit it for TV problems")
+            raise ValueError("engine selects the dense/planar kernels' "
+                             "matvec formulation; the TV stencil kernel "
+                             "has none — omit it for TV problems")
         hp_tv = True if hp is None else hp
         mu = detail
         b = jnp.asarray(problem.fterm.b, jnp.float32)
