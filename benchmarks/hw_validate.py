@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, ".")
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -46,20 +48,23 @@ def readback_rtt():
                for i in range(1, 4))
 
 
-def chain(gradmap, x0, K):
+def chain(gradmap, K):
     """K gradient evaluations per readback with a REAL data dependency:
     the next trial point is x0 + 0·g (not constant-foldable — 0·NaN is
-    NaN under IEEE), so XLA cannot CSE or reorder the A reads."""
-    def step(x, _):
-        _d, f, g = gradmap(x)
-        return x0 + 0.0 * g, f
+    NaN under IEEE), so XLA cannot CSE or reorder the A reads.
 
-    @jax.jit
-    def run(x):
+    Operands are jit ARGUMENTS, not closure constants: a closed-over
+    512 MB matrix gets baked into the HLO and the tunneled
+    remote-compile POST rejects the payload (HTTP 413)."""
+    def run(x, *ops):
+        def step(xc, _):
+            _d, f, g = gradmap(xc, *ops)
+            return x + 0.0 * g, f
+
         _xf, fs = jax.lax.scan(step, x, None, length=K)
         return jnp.sum(fs)
 
-    return run
+    return jax.jit(run)
 
 
 def timed(fn, *args, rtt, repeats=3):
@@ -115,28 +120,55 @@ print(f"[4] 24x24 HW: converged={r24.converged} in "
 # ---- 5. chained streaming gradmap + roofline sanity ----------------------
 from fasta_tpu.kernels import fused_lstsq_gradmap, lstsq_gradmap_reference
 
-m, n = (2048, 4096) if QUICK else (8192, 16384)
 rng = np.random.default_rng(0)
-A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
-x = jnp.asarray(rng.standard_normal(n), jnp.float32)
-b = jnp.asarray(rng.standard_normal(m), jnp.float32)
-K = 4 if QUICK else 16
-gb = m * n * 4 / 1e9
-t2 = timed(chain(lambda v: lstsq_gradmap_reference(A, v, b), x, K), x,
-           rtt=rtt) / K
-t1 = timed(chain(lambda v: fused_lstsq_gradmap(A, v, b), x, K), x,
-           rtt=rtt) / K
-g2, g1 = 2 * gb / t2, gb / t1
-ok5 = ("OK" if max(g1, g2) <= 1.05 * HBM_GBPS
-       else "EXCEEDED — measurement artifact, investigate")
-print(f"[5] streaming gradmap {m}x{n} (A = {gb:.2f} GB), K={K} chained: "
-      f"XLA two-pass {t2*1e3:.2f} ms/eval -> {g2:.0f} GB/s implied; "
-      f"fused one-pass {t1*1e3:.2f} ms/eval -> {g1:.0f} GB/s implied; "
-      f"speedup {t2/t1:.2f}x  "
-      f"[roofline {HBM_GBPS:.0f} GB/s: {ok5}]")
-assert g1 <= 1.1 * HBM_GBPS and g2 <= 1.1 * HBM_GBPS, \
-    "implied bandwidth exceeds the HBM roofline: the chain is not " \
-    "serializing full A reads"
+if QUICK:
+    # Quick mode = layout-bug fast-fail.  A 33 MB operand is (a) below
+    # the VMEM-residency threshold, so an implied-GB/s roofline assert
+    # is conceptually wrong (operands can legally exceed HBM bandwidth
+    # from VMEM), and (b) so fast that the chain costs less than one
+    # tunnel RTT, making the subtracted timing meaningless.  Check the
+    # fused kernel's HARDWARE CORRECTNESS here; timing + roofline run
+    # in the full pass only.
+    m, n = 2048, 4096
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    d1q, f1q, g1q = jax.block_until_ready(fused_lstsq_gradmap(A, x, b))
+    d0q, f0q, g0q = lstsq_gradmap_reference(A, x, b)
+    np.testing.assert_allclose(np.asarray(g1q), np.asarray(g0q),
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(float(f1q), float(f0q), rtol=1e-5)
+    print(f"[5] (quick) fused lstsq gradmap HW-correct at {m}x{n} "
+          f"(g diff {float(jnp.max(jnp.abs(g1q - g0q))):.1e}); "
+          f"timing + roofline deferred to the full run")
+    K = 4   # keeps [6b]'s quick timing cheap; its assert is also gated
+else:
+    m, n = 8192, 16384
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    # K chained evals per readback: net wall must DOMINATE the RTT for
+    # the subtraction to be trustworthy (two-pass ≈ 1.3 ms/eval → K=256
+    # is ~330 ms net vs a worst-day ~30 ms barrier).
+    K = 256
+    gb = m * n * 4 / 1e9
+    t2 = timed(chain(lambda v, A_, b_: lstsq_gradmap_reference(A_, v, b_),
+                     K), x, A, b, rtt=rtt) / K
+    t1 = timed(chain(lambda v, A_, b_: fused_lstsq_gradmap(A_, v, b_),
+                     K), x, A, b, rtt=rtt) / K
+    assert t2 * K >= 3 * rtt, \
+        f"two-pass chain ({t2*K*1e3:.1f} ms) not RTT-dominant vs {rtt*1e3:.1f} ms"
+    g2, g1 = 2 * gb / t2, gb / t1
+    ok5 = ("OK" if max(g1, g2) <= 1.05 * HBM_GBPS
+           else "EXCEEDED — measurement artifact, investigate")
+    print(f"[5] streaming gradmap {m}x{n} (A = {gb:.2f} GB), K={K} chained: "
+          f"XLA two-pass {t2*1e3:.2f} ms/eval -> {g2:.0f} GB/s implied; "
+          f"fused one-pass {t1*1e3:.2f} ms/eval -> {g1:.0f} GB/s implied; "
+          f"speedup {t2/t1:.2f}x  "
+          f"[roofline {HBM_GBPS:.0f} GB/s: {ok5}]")
+    assert g1 <= 1.1 * HBM_GBPS and g2 <= 1.1 * HBM_GBPS, \
+        "implied bandwidth exceeds the HBM roofline: the chain is not " \
+        "serializing full A reads"
 
 # ---- 6. planar one-pass kernel: correctness + perf -----------------------
 from fasta_tpu.kernels import (fused_planar_hinge_gradmap,
@@ -164,24 +196,32 @@ print(f"[6a] planar kernels HW-correct at {mp}x{np_} "
       f"(lstsq g diff {float(jnp.max(jnp.abs(g1_-g0_))):.1e}, "
       f"hinge g diff {float(jnp.max(jnp.abs(gh1-gh0))):.1e})")
 
-ms, ns = (4096, 1024) if QUICK else (16384, 4096)
-Ar = jnp.asarray(rng.standard_normal((ms, ns)), jnp.float32)
-Ai = jnp.asarray(rng.standard_normal((ms, ns)), jnp.float32)
-xs = jnp.asarray(rng.standard_normal((ns, 2)), jnp.float32)
-bs = jnp.abs(jnp.asarray(rng.standard_normal(ms), jnp.float32)) + 0.1
-gbp = 2 * ms * ns * 4 / 1e9
-tp2 = timed(chain(lambda v: planar_hinge_gradmap_reference(Ar, Ai, v, bs),
-                  xs, K), xs, rtt=rtt) / K
-tp1 = timed(chain(lambda v: fused_planar_hinge_gradmap(Ar, Ai, v, bs),
-                  xs, K), xs, rtt=rtt) / K
-gp2, gp1 = 2 * gbp / tp2, gbp / tp1
-ok6 = "OK" if max(gp1, gp2) <= 1.05 * HBM_GBPS else "EXCEEDED"
-print(f"[6b] planar hinge gradmap {ms}x{ns} (Ar+Ai = {gbp:.2f} GB), "
-      f"K={K}: XLA two-pass {tp2*1e3:.2f} ms -> {gp2:.0f} GB/s; fused "
-      f"one-pass {tp1*1e3:.2f} ms -> {gp1:.0f} GB/s; "
-      f"speedup {tp2/tp1:.2f}x "
-      f"[target >=1.5x; roofline {ok6}]")
-assert gp1 <= 1.1 * HBM_GBPS and gp2 <= 1.1 * HBM_GBPS
+if QUICK:
+    print("[6b] (quick) planar streaming timing + roofline deferred to "
+          "the full run (quick sizes are VMEM-resident and sub-RTT)")
+else:
+    ms, ns = 16384, 4096
+    Ar = jnp.asarray(rng.standard_normal((ms, ns)), jnp.float32)
+    Ai = jnp.asarray(rng.standard_normal((ms, ns)), jnp.float32)
+    xs = jnp.asarray(rng.standard_normal((ns, 2)), jnp.float32)
+    bs = jnp.abs(jnp.asarray(rng.standard_normal(ms), jnp.float32)) + 0.1
+    gbp = 2 * ms * ns * 4 / 1e9
+    tp2 = timed(chain(lambda v, r_, i_, b_:
+                      planar_hinge_gradmap_reference(r_, i_, v, b_), K),
+                xs, Ar, Ai, bs, rtt=rtt) / K
+    tp1 = timed(chain(lambda v, r_, i_, b_:
+                      fused_planar_hinge_gradmap(r_, i_, v, b_), K),
+                xs, Ar, Ai, bs, rtt=rtt) / K
+    assert tp2 * K >= 3 * rtt, \
+        f"planar chain ({tp2*K*1e3:.1f} ms) not RTT-dominant vs {rtt*1e3:.1f} ms"
+    gp2, gp1 = 2 * gbp / tp2, gbp / tp1
+    ok6 = "OK" if max(gp1, gp2) <= 1.05 * HBM_GBPS else "EXCEEDED"
+    print(f"[6b] planar hinge gradmap {ms}x{ns} (Ar+Ai = {gbp:.2f} GB), "
+          f"K={K}: XLA two-pass {tp2*1e3:.2f} ms -> {gp2:.0f} GB/s; fused "
+          f"one-pass {tp1*1e3:.2f} ms -> {gp1:.0f} GB/s; "
+          f"speedup {tp2/tp1:.2f}x "
+          f"[target >=1.5x; roofline {ok6}]")
+    assert gp1 <= 1.1 * HBM_GBPS and gp2 <= 1.1 * HBM_GBPS
 
 # ---- 7. dense microsolver hp + FISTA on hardware -------------------------
 pl_ = problems.build("lasso", m=1000, n=2000, k=100, dtype=jnp.float32)
@@ -194,16 +234,34 @@ np.testing.assert_allclose(np.asarray(r_hp.taus[:10]),
                            np.asarray(rx.taus[:10]), rtol=1e-4)
 r_fista = microsolve(pl_, max_iters=1000, tol=1e-5, hp=True,
                      accelerate=True)
+# Walls time the RAW kernel with ONE scalar readback: microsolve()'s
+# convenience packaging does several host transfers (int(k), bool(conv),
+# two np.asarray) and each costs a tunnel RTT — timing it measures the
+# network, not the kernel.
+from fasta_tpu.kernels.microsolver import microsolve_lasso
+
+A7 = jnp.asarray(pl_.op.A, jnp.float32)
+b7 = jnp.asarray(pl_.fterm.b, jnp.float32)
+x07 = jnp.asarray(pl_.x0, jnp.float32)
+mu7 = float(np.asarray(pl_.gterm.mu))
 walls = {}
 for label, kw in (("plain", {}), ("hp", dict(hp=True)),
                   ("fista-hp", dict(hp=True, accelerate=True))):
+    mi = 400 if label != "fista-hp" else 1000
+
+    def run7():
+        _x, _t, _r, k_, _c = microsolve_lasso(
+            A7, b7, x07, 0.05, mu7, max_iters=mi, tol=1e-5, prox="l1",
+            **kw)
+        return int(k_)
+
+    iters = run7()                      # warm/compile
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        rr = microsolve(pl_, max_iters=400 if label != "fista-hp" else 1000,
-                        tol=1e-5, **kw)
+        run7()
         best = min(best, time.perf_counter() - t0 - rtt)
-    walls[label] = (best, rr.iteration_count)
+    walls[label] = (best, iters)
 print(f"[7] dense micro 1000x2000 HW: taus[0:10] match XLA hp rtol 1e-4; "
       + "; ".join(f"{k}: {v[0]*1e3:.1f} ms/{v[1]} iters"
                   for k, v in walls.items()))
@@ -218,13 +276,30 @@ rx_pm = make_solver(FastaOptions(max_iters=12, stop_rule="iterations",
     jnp.asarray(1.0, jnp.float32))
 np.testing.assert_allclose(np.asarray(r_pm.taus[:12]),
                            np.asarray(rx_pm.taus)[:12], rtol=5e-3)
+from fasta_tpu.kernels.microsolver_planar import microsolve_planar_phasemax
+
+Ar8 = jnp.asarray(ppr.op.Ar, jnp.float32)
+Ai8 = jnp.asarray(ppr.op.Ai, jnp.float32)
+b8 = jnp.asarray(ppr.fterm.b, jnp.float32)
+c8 = jnp.asarray(ppr.gterm.c, jnp.float32)
+x08 = jnp.asarray(ppr.x0, jnp.float32)
+
+
+def run8():
+    # raw kernel + one scalar readback (see check [7] note)
+    _x, _t, _r, k_, _c = microsolve_planar_phasemax(
+        Ar8, Ai8, b8, c8, x08, 1.0, max_iters=300, tol=1e-5, hp=True)
+    return int(k_)
+
+
+iters8 = run8()
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
-    rr = microsolve(ppr, max_iters=300, tol=1e-5, hp=True)
+    run8()
     best = min(best, time.perf_counter() - t0 - rtt)
 print(f"[8] planar micro 16384x256 HW: taus[0:12] match XLA rtol 5e-3; "
-      f"to-tol {best*1e3:.1f} ms / {rr.iteration_count} iters "
+      f"to-tol {best*1e3:.1f} ms / {iters8} iters "
       f"(XLA loop was ~93 us/iter on 2026-08-17)")
 
 print("ALL REVALIDATION OK")

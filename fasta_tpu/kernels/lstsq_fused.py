@@ -142,11 +142,17 @@ def supports_fusion(m: int, n: int, dtype) -> bool:
 
 def lstsq_gradmap_reference(A, x, b):
     """Two-pass XLA fallback — the exact graph the unfused solver builds,
-    so CPU parity runs are bit-identical with fusion enabled."""
-    d = A @ x
+    so CPU parity runs are bit-identical with fusion enabled.  Matmul
+    precision pinned to HIGHEST like DenseOp's (a no-op for true GEMV,
+    which lowers exactly; it matters the moment x grows a batch axis —
+    MXU DEFAULT rounds f32 matrix operands to bf16)."""
+    hi = jax.lax.Precision.HIGHEST
+    d = jnp.matmul(A, x, precision=hi)
     r = d - b
-    f = 0.5 * jnp.real(jnp.vdot(r, r))
-    g = A.conj().T @ r
+    # sum, not vdot: matches the solver's shape-preserving reductions
+    # and avoids an unpinned dot_general
+    f = 0.5 * jnp.sum(jnp.real(r * jnp.conj(r)))
+    g = jnp.matmul(A.conj().T, r, precision=hi)
     return d, f, g
 
 

@@ -50,10 +50,24 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     mxu_prec = (jax.lax.Precision.HIGH if engine == "mxu3"
                 else jax.lax.Precision.HIGHEST)
 
+    # Row-chunked matvecs: materializing the full (m, n) channel
+    # matrices as VALUES (Ar_ref[:]) forces Mosaic to keep them (and
+    # their dot layouts) live in vregs — at the 16384×256 flagship that
+    # compiled to ~182 MB of register spill slots and a VMEM OOM
+    # (measured 2026-08-19).  Reading (rc, n) tiles from the pinned
+    # input windows per fori_loop step bounds live temporaries to ~2 MB
+    # while the matrices themselves stay resident in VMEM once.
+    rc = m
+    if m > 2048:
+        for cand in (2048, 1024, 512, 256, 128):
+            if m % cand == 0:
+                rc = cand
+                break
+    nchunks = m // rc
+
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
-               x_ref, taus_ref, res_ref, k_ref, conv_ref):
-        Ar = Ar_ref[:]                    # (m, n) pinned in VMEM
-        Ai = Ai_ref[:]
+               x_ref, taus_ref, res_ref, k_ref, conv_ref,
+               dscr_r, dscr_i, yscr_r, yscr_i):
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
@@ -63,26 +77,52 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             return prec.dd_add(dd_dot_rows(ur, vr), dd_dot_rows(ui, vi))
 
         def _mv(u, M, adjoint):
+            """u: (1,n) fwd / (1,rc) adj against an (rc,n) tile."""
             if engine == "vpu":
                 if adjoint:
-                    return jnp.sum(M * u.reshape(m, 1),
+                    return jnp.sum(M * u.reshape(M.shape[0], 1),
                                    axis=0).reshape(1, n)
-                return jnp.sum(M * u, axis=1).reshape(1, m)
+                return jnp.sum(M * u, axis=1).reshape(1, M.shape[0])
             dims = (((1,), (0,)), ((), ())) if adjoint \
                 else (((1,), (1,)), ((), ()))
             return jax.lax.dot_general(
                 u, M, dimension_numbers=dims,
                 preferred_element_type=jnp.float32, precision=mxu_prec)
 
+        # Chunk results are assembled through VMEM scratch rows (Mosaic
+        # has no dynamic_update_slice lowering for values; ref stores
+        # with pl.ds are the supported idiom).
         def fwd(xr, xi):
             """(dr, di) = planar A x on (1,n) channel rows → (1,m)."""
-            return (_mv(xr, Ar, False) - _mv(xi, Ai, False),
-                    _mv(xi, Ar, False) + _mv(xr, Ai, False))
+            def chunk(i, carry):
+                Arc = Ar_ref[pl.ds(i * rc, rc), :]
+                Aic = Ai_ref[pl.ds(i * rc, rc), :]
+                dscr_r[0:1, pl.ds(i * rc, rc)] = (
+                    _mv(xr, Arc, False) - _mv(xi, Aic, False))
+                dscr_i[0:1, pl.ds(i * rc, rc)] = (
+                    _mv(xi, Arc, False) + _mv(xr, Aic, False))
+                return carry
+            jax.lax.fori_loop(0, nchunks, chunk, 0)
+            return dscr_r[:], dscr_i[:]
 
         def adj(yr, yi):
             """(gr, gi) = planar Aᴴ y → (1,n)."""
-            return (_mv(yr, Ar, True) + _mv(yi, Ai, True),
-                    _mv(yi, Ar, True) - _mv(yr, Ai, True))
+            yscr_r[:] = yr
+            yscr_i[:] = yi
+
+            def chunk(i, acc):
+                gr_a, gi_a = acc
+                Arc = Ar_ref[pl.ds(i * rc, rc), :]
+                Aic = Ai_ref[pl.ds(i * rc, rc), :]
+                yrc = yscr_r[0:1, pl.ds(i * rc, rc)]
+                yic = yscr_i[0:1, pl.ds(i * rc, rc)]
+                gr_a = gr_a + _mv(yrc, Arc, True) + _mv(yic, Aic, True)
+                gi_a = gi_a + _mv(yic, Arc, True) - _mv(yrc, Aic, True)
+                return gr_a, gi_a
+            return jax.lax.fori_loop(
+                0, nchunks, chunk,
+                (jnp.zeros((1, n), jnp.float32),
+                 jnp.zeros((1, n), jnp.float32)))
 
         def hinge(dr, di):
             """(f, ℓr, ℓi): PhaseMax hinge value + elementwise grad."""
@@ -367,9 +407,17 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m), jnp.float32),    # dr assembly row
+            pltpu.VMEM((1, m), jnp.float32),    # di assembly row
+            pltpu.VMEM((1, m), jnp.float32),    # adj yr staging row
+            pltpu.VMEM((1, m), jnp.float32),    # adj yi staging row
+        ],
         compiler_params=pltpu.CompilerParams(
+            # both channel windows pinned once + chunked-matvec
+            # temporaries (~2 MB live) + headroom for modest spills
             vmem_limit_bytes=min(100 << 20,
-                                 6 * m * n * 4 + (48 << 20)),
+                                 2 * m * n * 4 + (32 << 20)),
         ),
         interpret=interpret,
     )(x0.T.reshape(2, n), b.reshape(1, m), c.T.reshape(2, n), ts, Ar, Ai)

@@ -69,31 +69,40 @@ def supports_planar_fusion(m: int, n: int, dtype) -> bool:
             and dtype in (jnp.float32, jnp.bfloat16))
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def planar_lstsq_gradmap_reference(Ar, Ai, x, b):
     """Two-pass XLA fallback — the exact graph the unfused solver builds
-    for PlanarDenseOp + LeastSquares."""
-    p = Ar @ x
-    q = Ai @ x
+    for PlanarDenseOp + LeastSquares.  Matmul precision is pinned to
+    HIGHEST like PlanarDenseOp's: planar matvecs are (m,n)·(n,2) MATRIX
+    products, and the TPU MXU's DEFAULT precision rounds f32 operands to
+    bf16 (~1% relative error, measured on v5e 2026-08-19 — the VPU
+    kernel was 2.4e-5 from float64 while a default-precision version of
+    this graph was 0.42 off)."""
+    p = jnp.matmul(Ar, x, precision=_HI)
+    q = jnp.matmul(Ai, x, precision=_HI)
     d = jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]], axis=-1)
     r = d - b
     f = 0.5 * jnp.sum(r * r)
-    pr = Ar.T @ r
-    qr = Ai.T @ r
+    pr = jnp.matmul(Ar.T, r, precision=_HI)
+    qr = jnp.matmul(Ai.T, r, precision=_HI)
     g = jnp.stack([pr[:, 0] + qr[:, 1], pr[:, 1] - qr[:, 0]], axis=-1)
     return d, f, g
 
 
 def planar_hinge_gradmap_reference(Ar, Ai, x, b):
-    """Two-pass XLA fallback for PlanarDenseOp + PlanarPhaseHinge."""
-    p = Ar @ x
-    q = Ai @ x
+    """Two-pass XLA fallback for PlanarDenseOp + PlanarPhaseHinge
+    (HIGHEST-precision matmuls — see planar_lstsq_gradmap_reference)."""
+    p = jnp.matmul(Ar, x, precision=_HI)
+    q = jnp.matmul(Ai, x, precision=_HI)
     d = jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]], axis=-1)
     mag = jnp.sqrt(jnp.sum(d * d, axis=-1))
     r = jnp.maximum(mag - b, 0.0)
     f = 0.5 * jnp.sum(r * r)
     ell = (r / jnp.maximum(mag, 1e-30))[:, None] * d
-    pr = Ar.T @ ell
-    qr = Ai.T @ ell
+    pr = jnp.matmul(Ar.T, ell, precision=_HI)
+    qr = jnp.matmul(Ai.T, ell, precision=_HI)
     g = jnp.stack([pr[:, 0] + qr[:, 1], pr[:, 1] - qr[:, 0]], axis=-1)
     return d, f, g
 

@@ -102,7 +102,10 @@ def svt(Z, t):
     shrink on σ fuses around it."""
     U, s, Vh = jnp.linalg.svd(Z, full_matrices=False)
     s = jnp.maximum(s - t, 0.0)
-    return (U * s[..., None, :]) @ Vh
+    # HIGHEST: the reconstruction is a matrix×matrix MXU product, whose
+    # TPU DEFAULT precision is bf16 — a silent ~1% error on the iterate.
+    return jnp.matmul(U * s[..., None, :], Vh,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def shrink_rows(Z, t):

@@ -500,8 +500,11 @@ class NMFLoss(SmoothTerm):
         return self.Y.shape[0]
 
     def _residual(self, X):
+        # Matrix×matrix products run on the MXU, whose DEFAULT precision
+        # rounds f32 to bf16 (~1% relative error on hardware) — pin
+        # HIGHEST like the operator classes do.
         W, H = X[:self._d1], X[self._d1:]
-        return W @ H.T - self.Y
+        return jnp.matmul(W, H.T, precision=jax.lax.Precision.HIGHEST) - self.Y
 
     def value(self, X):
         R = self._residual(X)
@@ -518,9 +521,11 @@ class NMFLoss(SmoothTerm):
         return 0.5 * p, 0.5 * e
 
     def grad(self, X):
+        hi = jax.lax.Precision.HIGHEST
         W, H = X[:self._d1], X[self._d1:]
-        R = W @ H.T - self.Y
-        return jnp.concatenate([R @ H, R.T @ W], axis=0)
+        R = jnp.matmul(W, H.T, precision=hi) - self.Y
+        return jnp.concatenate([jnp.matmul(R, H, precision=hi),
+                                jnp.matmul(R.T, W, precision=hi)], axis=0)
 
     def tree_flatten(self):
         return (self.Y,), None

@@ -82,3 +82,21 @@ def test_planar_microsolver_dispatch():
     assert r.converged
     err = prob.recovery_error(np.asarray(r.solution), recovered=False)
     assert err < 0.05, err
+
+
+@pytest.mark.parametrize("engine", ["mxu", "vpu"])
+def test_planar_microsolver_chunked_matvec_prefix(engine):
+    """m > 2048 engages the row-chunked in-kernel matvec (the fix for
+    the 16384x256 VMEM spill OOM, 2026-08-19): the fori_loop tiled
+    forward/adjoint must reproduce the single-chunk trajectory."""
+    prob, (Ar, Ai, b, c, x0) = _inst(m=4096, n=16)
+    K = 6
+    x, taus, res, k, conv = microsolve_planar_phasemax(
+        Ar, Ai, b, c, x0, 1.0, max_iters=K, tol=0.0, interpret=True,
+        engine=engine)
+    prob.tau0 = 1.0
+    r = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                   stop_rule="iterations", precision="standard")
+    rt = 5e-4 if engine == "mxu" else 1e-2
+    np.testing.assert_allclose(np.asarray(taus[:K]), r.taus[:K], rtol=rt)
+    assert int(k) == K
