@@ -244,26 +244,47 @@ A7 = jnp.asarray(pl_.op.A, jnp.float32)
 b7 = jnp.asarray(pl_.fterm.b, jnp.float32)
 x07 = jnp.asarray(pl_.x0, jnp.float32)
 mu7 = float(np.asarray(pl_.gterm.mu))
+KCH = 16        # whole solves chained per readback: a single solve is
+                # faster than one tunnel RTT (negative walls otherwise)
+
+
+def chain_solves(kernel_call, x0_, K=KCH):
+    """K whole-solve kernel launches per readback, data-chained through
+    x0 (x0 + 0·sol is not constant-foldable) so they serialize."""
+    def step(xc, _):
+        sol, k_ = kernel_call(xc)
+        return x0_ + 0.0 * sol, k_
+
+    @jax.jit
+    def run(xs):
+        _xf, ks = jax.lax.scan(step, xs, None, length=K)
+        return ks[-1]
+
+    return run
+
+
 walls = {}
 for label, kw in (("plain", {}), ("hp", dict(hp=True)),
                   ("fista-hp", dict(hp=True, accelerate=True))):
     mi = 400 if label != "fista-hp" else 1000
 
-    def run7():
-        _x, _t, _r, k_, _c = microsolve_lasso(
-            A7, b7, x07, 0.05, mu7, max_iters=mi, tol=1e-5, prox="l1",
+    def call7(xc, kw=kw, mi=mi):
+        x, _t, _r, k_, _c = microsolve_lasso(
+            A7, b7, xc, 0.05, mu7, max_iters=mi, tol=1e-5, prox="l1",
             **kw)
-        return int(k_)
+        return x, k_
 
-    iters = run7()                      # warm/compile
+    run7 = chain_solves(call7, x07)
+    iters = int(run7(x07))              # warm/compile
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        run7()
+        int(run7(x07))
         best = min(best, time.perf_counter() - t0 - rtt)
-    walls[label] = (best, iters)
-print(f"[7] dense micro 1000x2000 HW: taus[0:10] match XLA hp rtol 1e-4; "
-      + "; ".join(f"{k}: {v[0]*1e3:.1f} ms/{v[1]} iters"
+    walls[label] = (best / KCH, iters)
+print(f"[7] dense micro 1000x2000 HW ({KCH} chained solves/readback): "
+      f"taus[0:10] match XLA hp rtol 1e-4; "
+      + "; ".join(f"{k}: {v[0]*1e3:.2f} ms/{v[1]} iters"
                   for k, v in walls.items()))
 
 # ---- 8. planar PhaseMax microsolver on hardware ---------------------------
@@ -285,21 +306,21 @@ c8 = jnp.asarray(ppr.gterm.c, jnp.float32)
 x08 = jnp.asarray(ppr.x0, jnp.float32)
 
 
-def run8():
-    # raw kernel + one scalar readback (see check [7] note)
-    _x, _t, _r, k_, _c = microsolve_planar_phasemax(
-        Ar8, Ai8, b8, c8, x08, 1.0, max_iters=300, tol=1e-5, hp=True)
-    return int(k_)
+def call8(xc):
+    x, _t, _r, k_, _c = microsolve_planar_phasemax(
+        Ar8, Ai8, b8, c8, xc, 1.0, max_iters=300, tol=1e-5, hp=True)
+    return x, k_
 
 
-iters8 = run8()
+run8 = chain_solves(call8, x08)
+iters8 = int(run8(x08))
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
-    run8()
+    int(run8(x08))
     best = min(best, time.perf_counter() - t0 - rtt)
-print(f"[8] planar micro 16384x256 HW: taus[0:12] match XLA rtol 5e-3; "
-      f"to-tol {best*1e3:.1f} ms / {iters8} iters "
-      f"(XLA loop was ~93 us/iter on 2026-08-17)")
+print(f"[8] planar micro 16384x256 HW ({KCH} chained solves/readback): "
+      f"taus[0:12] match XLA rtol 5e-3; to-tol {best/KCH*1e3:.2f} ms / "
+      f"{iters8} iters (XLA loop was ~93 us/iter on 2026-08-17)")
 
 print("ALL REVALIDATION OK")

@@ -49,21 +49,21 @@ def supports_microsolver(m: int, n: int, dtype) -> bool:
 
 
 def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
-                 max_backtracks, kpad, engine="mxu", prox="l1",
+                 max_backtracks, kpad, engine="vpu", prox="l1",
                  hp=False, accelerate=False, restart=True,
                  restart_dd=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
 
-    # "mxu" = HIGHEST (6-pass exact f32 — the validated default);
-    # "mxu3" = HIGH (bf16x3, 3 passes — near-f32 matvecs at half the
-    # MXU work; the hp decision scalars are unaffected, but the
-    # gradient itself carries ~2x the rounding of HIGHEST — A/B on
-    # hardware before promoting); "vpu" = broadcast-reduce on the
-    # vector units (exact f32).
-    mxu_prec = (jax.lax.Precision.HIGH if engine == "mxu3"
-                else jax.lax.Precision.HIGHEST)
+    # "vpu" = broadcast-reduce on the vector units (exact f32; the
+    # default — a batch-1 GEMV keeps 1/128 of the MXU's rows busy, and
+    # the 8x128 VPU formulation measured 4.3-8.2x the MXU kernel on
+    # live hardware, 2026-08-19); "mxu" = Precision.HIGHEST dot_general
+    # (6-pass exact f32).  (A Precision.HIGH "mxu3" engine was removed:
+    # Mosaic has no lowering for HIGH — NotImplementedError on
+    # hardware.)
+    mxu_prec = jax.lax.Precision.HIGHEST
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
                x_ref, taus_ref, res_ref, k_ref, conv_ref):
@@ -334,7 +334,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                      "hp", "accelerate", "restart", "restart_dd"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
-                     interpret=False, engine="mxu", prox="l1",
+                     interpret=False, engine="vpu", prox="l1",
                      hp=False, accelerate=False, restart=True,
                      restart_dd=False):
     """Whole-solve kernel for  min ½‖Ax−b‖² + g(x)  with g selected by

@@ -45,10 +45,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     from .. import precision as prec
     from .ddreduce import dd_dot_rows
 
-    # engine semantics shared with kernels/microsolver.py: "mxu"
-    # (HIGHEST), "mxu3" (bf16x3 HIGH — hardware A/B candidate), "vpu"
-    mxu_prec = (jax.lax.Precision.HIGH if engine == "mxu3"
-                else jax.lax.Precision.HIGHEST)
+    # engine semantics shared with kernels/microsolver.py: "vpu"
+    # default (1.43x the MXU kernel live, 2026-08-19), "mxu" = HIGHEST
+    # (Mosaic has no HIGH lowering, so no bf16x3 tier)
+    mxu_prec = jax.lax.Precision.HIGHEST
 
     # Row-chunked matvecs: materializing the full (m, n) channel
     # matrices as VALUES (Ar_ref[:]) forces Mosaic to keep them (and
@@ -368,7 +368,7 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                window=10, tol=1e-3, shrink_factor=0.2,
                                max_backtracks=20, interpret=False,
                                hp=False, accelerate=False, restart=True,
-                               restart_dd=False, engine="mxu"):
+                               restart_dd=False, engine="vpu"):
     """Whole-solve kernel for planar PhaseMax
     ``min ½Σ max(|Ax|−b,0)² − ⟨c,x⟩`` (adaptive BB or FISTA mode).
 

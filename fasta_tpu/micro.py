@@ -135,11 +135,18 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     exact); it defaults ON for the TV kernel and OFF for the dense
     kernel (whose problems converge at plain f32 — docs/PERF.md), and
     either can be overridden explicitly.
-    ``engine`` (dense and planar kernels; defaults to "mxu") picks the
-    matvec formulation: "mxu" (HIGHEST, exact f32), "mxu3" (bf16x3 —
-    hardware A/B candidate) or "vpu".  Explicitly passing a
-    kernel-specific option to a kernel without it raises — this API
-    never silently drops a request.
+    ``engine`` (dense and planar kernels; defaults to "vpu") picks the
+    matvec formulation: "vpu" (broadcast-reduce on the vector units,
+    exact f32 — measured 2026-08-19 live: 4.3–8.2× the MXU kernel on
+    LASSO 1000×2000, 1.43× on planar 16384×256; a batch-1 GEMV uses
+    1/128 of the MXU's rows, so the systolic path is pure latency) or
+    "mxu" (Precision.HIGHEST dot_general).  A bf16x3
+    "mxu3" engine was removed 2026-08-19: Mosaic has no lowering for
+    Precision.HIGH (it only ever passed in interpret mode), and a
+    manual three-product split would need pre-split channel matrices
+    at 2× the VMEM footprint for a matvec that is bandwidth-bound
+    anyway.  Explicitly passing a kernel-specific option to a kernel
+    without it raises — this API never silently drops a request.
     ``interpret=None`` auto-enables the Pallas interpreter off-TPU so
     the same call works in CPU tests.
 
@@ -163,9 +170,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         tau0 = float(tau0_arr)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if engine is not None and engine not in ("mxu", "mxu3", "vpu"):
-        raise ValueError(f"unknown engine {engine!r} "
-                         "(choose mxu, mxu3 or vpu)")
+    if engine is not None and engine not in ("mxu", "vpu"):
+        raise ValueError(f"unknown engine {engine!r} (choose mxu or vpu)")
 
     t0 = time.perf_counter()
     if kind == "planar":
@@ -181,7 +187,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
             shrink_factor=shrink_factor, max_backtracks=max_backtracks,
             interpret=interpret, hp=bool(hp), accelerate=accelerate,
             restart=restart, restart_dd=restart_dd,
-            engine=engine or "mxu")
+            engine=engine or "vpu")
         sol = x
     elif kind == "tv":
         from .kernels.microsolver_tv import microsolve_tv
@@ -211,7 +217,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
             A, b, x0, tau0, mu, max_iters=max_iters, window=window,
             tol=tol, shrink_factor=shrink_factor,
             max_backtracks=max_backtracks, interpret=interpret,
-            engine=engine or "mxu", prox=prox,
+            engine=engine or "vpu", prox=prox,
             hp=bool(hp), accelerate=accelerate, restart=restart,
             restart_dd=restart_dd)
         sol = x.reshape(-1)
