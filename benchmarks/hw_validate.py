@@ -244,11 +244,13 @@ A7 = jnp.asarray(pl_.op.A, jnp.float32)
 b7 = jnp.asarray(pl_.fterm.b, jnp.float32)
 x07 = jnp.asarray(pl_.x0, jnp.float32)
 mu7 = float(np.asarray(pl_.gterm.mu))
-KCH = 16        # whole solves chained per readback: a single solve is
-                # faster than one tunnel RTT (negative walls otherwise)
+KCH = 256       # dense solves chained per readback: one ~0.2 ms solve
+                # is far under the tunnel RTT (negative walls otherwise;
+                # 16 was still sub-RTT on a 29 ms day)
+KCH8 = 32       # planar solves are ~5 ms each — 32 ≈ 170 ms per readback
 
 
-def chain_solves(kernel_call, x0_, K=KCH):
+def chain_solves(kernel_call, x0_, K):
     """K whole-solve kernel launches per readback, data-chained through
     x0 (x0 + 0·sol is not constant-foldable) so they serialize."""
     def step(xc, _):
@@ -274,7 +276,7 @@ for label, kw in (("plain", {}), ("hp", dict(hp=True)),
             **kw)
         return x, k_
 
-    run7 = chain_solves(call7, x07)
+    run7 = chain_solves(call7, x07, KCH)
     iters = int(run7(x07))              # warm/compile
     best = 1e9
     for _ in range(3):
@@ -312,15 +314,15 @@ def call8(xc):
     return x, k_
 
 
-run8 = chain_solves(call8, x08)
+run8 = chain_solves(call8, x08, KCH8)
 iters8 = int(run8(x08))
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
     int(run8(x08))
     best = min(best, time.perf_counter() - t0 - rtt)
-print(f"[8] planar micro 16384x256 HW ({KCH} chained solves/readback): "
-      f"taus[0:12] match XLA rtol 5e-3; to-tol {best/KCH*1e3:.2f} ms / "
+print(f"[8] planar micro 16384x256 HW ({KCH8} chained solves/readback): "
+      f"taus[0:12] match XLA rtol 5e-3; to-tol {best/KCH8*1e3:.2f} ms / "
       f"{iters8} iters (XLA loop was ~93 us/iter on 2026-08-17)")
 
 print("ALL REVALIDATION OK")
