@@ -70,7 +70,25 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         A = A_ref[:]                       # (m, n) pinned in VMEM
         b = b_ref[:]                       # (1, m)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+        # Per-iteration recording is O(1): a (1,128) accumulator row in
+        # the carry, flushed to the (kpad//128, 128) output ref at
+        # dynamic SUBLANE offset k>>7 every iteration.  Carrying the
+        # whole (1, kpad) array and rebuilding it with a lane-select
+        # made every iteration pay O(kpad) — measured on hardware as a
+        # 295k -> 106k it/s rate decay from max_iters=10k to 200k.
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+
+        def record(k, tau, res, trow_c, rrow_c):
+            c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            trow_n = jnp.where(lane128 == lane, tau, trow_c)
+            rrow_n = jnp.where(lane128 == lane, res, rrow_c)
+            taus_ref[pl.ds(row, 1), :] = trow_n
+            res_ref[pl.ds(row, 1), :] = rrow_n
+            return trow_n, rrow_n
 
         def fwd(x):
             """d = x Aᵀ : (1,n)·(m,n)ᵀ → (1,m)."""
@@ -192,7 +210,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         if accelerate:
             def body(c):
                 (k, _stop, y_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
-                 taus_c, res_c, xa_c, dacc_c, alpha_c) = c
+                 trow_c, rrow_c, xa_c, dacc_c, alpha_c) = c
 
                 def fb(tau):
                     x1hat = y_c - tau * g_c
@@ -211,8 +229,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
 
                 _nd2, res, maxres, stop = resid_stop(
                     tau, x1, x1hat, dx, g_c, maxres_c)
-                taus_n = jnp.where(lane_k == k, tau, taus_c)
-                res_n = jnp.where(lane_k == k, res, res_c)
+                trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
 
                 # O'Donoghue–Candès gradient restart (plain-f32 sign
                 # test by default; restart_dd mirrors solver.py's dd
@@ -244,30 +261,28 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                                    f_hi(f_rec), fwin_c)
 
                 return (k + 1, stop, y_n, g_n, tau, fwin_n, fwlo_n,
-                        maxres, taus_n, res_n, x1, d1, alpha1)
+                        maxres, trow_n, rrow_n, x1, d1, alpha1)
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                     x0, g0, tau0, fwin, fwin_lo,
                     jnp.asarray(-jnp.inf, jnp.float32),
-                    jnp.zeros((1, kpad), jnp.float32),
-                    jnp.zeros((1, kpad), jnp.float32),
+                    jnp.zeros((1, 128), jnp.float32),
+                    jnp.zeros((1, 128), jnp.float32),
                     x0, d0, jnp.asarray(1.0, jnp.float32))
-            (k, stop, y_f, _g, _tau, _fw, _fwlo, _mr, taus_f, res_f,
+            (k, stop, y_f, _g, _tau, _fw, _fwlo, _mr, _tr, _rr,
              xa_f, _d, _a) = jax.lax.while_loop(cond, body, init)
 
             # a converged stop exits at the prox iterate; max-iters
             # exhaustion returns the extrapolated point (oracle break
             # semantics, solver.py solution select)
             x_ref[:] = jnp.where(stop, xa_f, y_f)
-            taus_ref[:] = taus_f
-            res_ref[:] = res_f
             k_ref[0, 0] = k
             conv_ref[0, 0] = stop.astype(jnp.int32)
             return
 
         def body(c):
             (k, _stop, x_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
-             taus_c, res_c) = c
+             trow_c, rrow_c) = c
 
             def fb(tau):
                 x1hat = x_c - tau * g_c
@@ -284,8 +299,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
 
             nd2, res, maxres, stop = resid_stop(
                 tau, x1, x1hat, dx, g_c, maxres_c)
-            taus_n = jnp.where(lane_k == k, tau, taus_c)
-            res_n = jnp.where(lane_k == k, res, res_c)
+            trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
             fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
                                fwin_c)
             fwlo_n = (jnp.where(lane_w == (k + 1) % window, f1.lo,
@@ -308,19 +322,17 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
             tau_n = jnp.where(bad, tau * 1.5, tau_n)
 
             return (k + 1, stop, x1, g1, tau_n, fwin_n, fwlo_n, maxres,
-                    taus_n, res_n)
+                    trow_n, rrow_n)
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                 x0, g0, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
-                jnp.zeros((1, kpad), jnp.float32),
-                jnp.zeros((1, kpad), jnp.float32))
-        (k, stop, x_f, _gf, _tauf, _fw, _fwlo, _mr, taus_f,
-         res_f) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((1, 128), jnp.float32),
+                jnp.zeros((1, 128), jnp.float32))
+        (k, stop, x_f, _gf, _tauf, _fw, _fwlo, _mr, _tr,
+         _rr) = jax.lax.while_loop(cond, body, init)
 
         x_ref[:] = x_f
-        taus_ref[:] = taus_f
-        res_ref[:] = res_f
         k_ref[0, 0] = k
         conv_ref[0, 0] = stop.astype(jnp.int32)
 
@@ -370,15 +382,15 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x (1,n)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # taus (1,kpad)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # res (1,kpad)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # taus rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # res rows
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k (1,1)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # conv (1,1)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
-            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],

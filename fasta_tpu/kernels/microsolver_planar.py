@@ -71,7 +71,23 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+        # O(1) per-iteration recording (see kernels/microsolver.py): a
+        # (1,128) accumulator row flushed to the (kpad//128, 128) output
+        # ref at dynamic sublane offset — carrying (1, kpad) arrays made
+        # every iteration pay an O(kpad) rebuild.
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+
+        def record(k, tau, res, trow_c, rrow_c):
+            c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            trow_n = jnp.where(lane128 == lane, tau, trow_c)
+            rrow_n = jnp.where(lane128 == lane, res, rrow_c)
+            taus_ref[pl.ds(row, 1), :] = trow_n
+            res_ref[pl.ds(row, 1), :] = rrow_n
+            return trow_n, rrow_n
 
         def dd_dot2(ur, ui, vr, vi):
             return prec.dd_add(dd_dot_rows(ur, vr), dd_dot_rows(ui, vi))
@@ -217,7 +233,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         if accelerate:
             def body(cy):
                 (k, _s, yr, yi, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
-                 maxres_c, taus_c, res_c, xar, xai, dar, dai,
+                 maxres_c, trow_c, rrow_c, xar, xai, dar, dai,
                  alpha_c) = cy
 
                 def fb(tau):
@@ -241,8 +257,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 _nd2, res, maxres, stop = resid_stop(
                     tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c,
                     maxres_c)
-                taus_n = jnp.where(lane_k == k, tau, taus_c)
-                res_n = jnp.where(lane_k == k, res, res_c)
+                trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
 
                 if hp and restart_dd:
                     rdot = prec.dd_to_float(dd_dot2(
@@ -272,31 +287,29 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                                    f_hi(f_rec), fwin_c)
 
                 return (k + 1, stop, yr_n, yi_n, gr_n, gi_n, tau,
-                        fwin_n, fwlo_n, maxres, taus_n, res_n,
+                        fwin_n, fwlo_n, maxres, trow_n, rrow_n,
                         x1r, x1i, d1r, d1i, alpha1)
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                     x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
                     jnp.asarray(-jnp.inf, jnp.float32),
-                    jnp.zeros((1, kpad), jnp.float32),
-                    jnp.zeros((1, kpad), jnp.float32),
+                    jnp.zeros((1, 128), jnp.float32),
+                    jnp.zeros((1, 128), jnp.float32),
                     x0r, x0i, d0r, d0i, jnp.asarray(1.0, jnp.float32))
-            (k, stop, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, taus_f,
-             res_f, xar_f, xai_f, _dr, _di,
+            (k, stop, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
+             _rr, xar_f, xai_f, _dr, _di,
              _a) = jax.lax.while_loop(cond, body, init)
             xr_out = jnp.where(stop, xar_f, yr_f)
             xi_out = jnp.where(stop, xai_f, yi_f)
             x_ref[0:1] = xr_out
             x_ref[1:2] = xi_out
-            taus_ref[:] = taus_f
-            res_ref[:] = res_f
             k_ref[0, 0] = k
             conv_ref[0, 0] = stop.astype(jnp.int32)
             return
 
         def body(cy):
             (k, _s, xr_c, xi_c, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
-             maxres_c, taus_c, res_c) = cy
+             maxres_c, trow_c, rrow_c) = cy
 
             def fb(tau):
                 zr = xr_c - tau * gr_c
@@ -317,8 +330,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
             nd2, res, maxres, stop = resid_stop(
                 tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c, maxres_c)
-            taus_n = jnp.where(lane_k == k, tau, taus_c)
-            res_n = jnp.where(lane_k == k, res, res_c)
+            trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
             fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
                                fwin_c)
             fwlo_n = (jnp.where(lane_w == (k + 1) % window, f1.lo,
@@ -340,19 +352,17 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             tau_n = jnp.where(bad, tau * 1.5, tau_n)
 
             return (k + 1, stop, x1r, x1i, g1r, g1i, tau_n, fwin_n,
-                    fwlo_n, maxres, taus_n, res_n)
+                    fwlo_n, maxres, trow_n, rrow_n)
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                 x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
-                jnp.zeros((1, kpad), jnp.float32),
-                jnp.zeros((1, kpad), jnp.float32))
-        (k, stop, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, taus_f,
-         res_f) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((1, 128), jnp.float32),
+                jnp.zeros((1, 128), jnp.float32))
+        (k, stop, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
+         _rr) = jax.lax.while_loop(cond, body, init)
         x_ref[0:1] = xr_f
         x_ref[1:2] = xi_f
-        taus_ref[:] = taus_f
-        res_ref[:] = res_f
         k_ref[0, 0] = k
         conv_ref[0, 0] = stop.astype(jnp.int32)
 
@@ -402,8 +412,8 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
-            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],

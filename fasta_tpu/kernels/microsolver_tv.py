@@ -41,7 +41,23 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                xv_ref, xh_ref, taus_ref, res_ref, k_ref, conv_ref):
         b = b_ref[:]
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+        # O(1) per-iteration recording (see kernels/microsolver.py): a
+        # (1,128) accumulator row flushed to the (kpad//128, 128) output
+        # ref at dynamic sublane offset — carrying (1, kpad) arrays made
+        # every iteration pay an O(kpad) rebuild.
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+
+        def record(k, tau, res, trow_c, rrow_c):
+            c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            trow_n = jnp.where(lane128 == lane, tau, trow_c)
+            rrow_n = jnp.where(lane128 == lane, res, rrow_c)
+            taus_ref[pl.ds(row, 1), :] = trow_n
+            res_ref[pl.ds(row, 1), :] = rrow_n
+            return trow_n, rrow_n
         ridx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         mrow = (ridx < h - 1).astype(jnp.float32)
@@ -177,7 +193,7 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
         if accelerate:
             def body(c):
                 (k, _stop, yv, yh, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
-                 maxres_c, taus_c, res_c, xav, xah, dacc, alpha_c) = c
+                 maxres_c, trow_c, rrow_c, xav, xah, dacc, alpha_c) = c
 
                 def fb(tau):
                     zv = yv - tau * gv_c
@@ -200,8 +216,7 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                 _nd2, res, maxres, stop = resid_stop(
                     tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)
 
-                taus_n = jnp.where(lane_k == k, tau, taus_c)
-                res_n = jnp.where(lane_k == k, res, res_c)
+                trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
 
                 # O'Donoghue–Candès gradient restart:
                 # ⟨y − x₁, x₁ − x_accel0⟩ > 0 resets the momentum
@@ -238,17 +253,17 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
                                    f_hi(f_rec), fwin_c)
 
                 return (k + 1, stop, yv_n, yh_n, gvn, ghn, tau, fwin_n,
-                        fwlo_n, maxres, taus_n, res_n, xv, xh, d1,
+                        fwlo_n, maxres, trow_n, rrow_n, xv, xh, d1,
                         alpha1)
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                     pv0, ph0, gv0, gh0, tau0, fwin, fwin_lo,
                     jnp.asarray(-jnp.inf, jnp.float32),
-                    jnp.zeros((1, kpad), jnp.float32),
-                    jnp.zeros((1, kpad), jnp.float32),
+                    jnp.zeros((1, 128), jnp.float32),
+                    jnp.zeros((1, 128), jnp.float32),
                     pv0, ph0, d0, jnp.asarray(1.0, jnp.float32))
             (k, stop, yv_f, yh_f, _gv, _gh, _tau, _fw, _fwlo, _mr,
-             taus_f, res_f, xav_f, xah_f, _d, _a) = jax.lax.while_loop(
+             _tr, _rr, xav_f, xah_f, _d, _a) = jax.lax.while_loop(
                 cond, body, init)
 
             # a converged stop exits at the prox iterate; max-iters
@@ -256,15 +271,13 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
             # semantics, solver.py solution select)
             xv_ref[:] = jnp.where(stop, xav_f, yv_f)
             xh_ref[:] = jnp.where(stop, xah_f, yh_f)
-            taus_ref[:] = taus_f
-            res_ref[:] = res_f
             k_ref[0, 0] = k
             conv_ref[0, 0] = stop.astype(jnp.int32)
             return
 
         def body(c):
             (k, _stop, pv_c, ph_c, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
-             maxres_c, taus_c, res_c) = c
+             maxres_c, trow_c, rrow_c) = c
 
             def fb(tau):
                 zv = pv_c - tau * gv_c
@@ -285,8 +298,7 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
             nd2, res, maxres, stop = resid_stop(
                 tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)
 
-            taus_n = jnp.where(lane_k == k, tau, taus_c)
-            res_n = jnp.where(lane_k == k, res, res_c)
+            trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
             fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
                                fwin_c)
             fwlo_n = (jnp.where(lane_w == (k + 1) % window, f1.lo,
@@ -308,20 +320,18 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
             tau_n = jnp.where(deg, tau * 1.5, tau_n)
 
             return (k + 1, stop, xv, xh, gv1, gh1, tau_n, fwin_n,
-                    fwlo_n, maxres, taus_n, res_n)
+                    fwlo_n, maxres, trow_n, rrow_n)
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                 pv0, ph0, gv0, gh0, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
-                jnp.zeros((1, kpad), jnp.float32),
-                jnp.zeros((1, kpad), jnp.float32))
-        (k, stop, xv_f, xh_f, _gv, _gh, _tau, _fw, _fwlo, _mr, taus_f,
-         res_f) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((1, 128), jnp.float32),
+                jnp.zeros((1, 128), jnp.float32))
+        (k, stop, xv_f, xh_f, _gv, _gh, _tau, _fw, _fwlo, _mr, _tr,
+         _rr) = jax.lax.while_loop(cond, body, init)
 
         xv_ref[:] = xv_f
         xh_ref[:] = xh_f
-        taus_ref[:] = taus_f
-        res_ref[:] = res_f
         k_ref[0, 0] = k
         conv_ref[0, 0] = stop.astype(jnp.int32)
 
@@ -393,8 +403,8 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
-            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
