@@ -50,11 +50,18 @@ def bench_oracle(prob, tau0, tol, max_iters=20000):
                  inst["g"], inst["proxg"], inst["x0"], tau0=tau0, tol=tol,
                  max_iters=max_iters, record_objective=True)
     dt = time.perf_counter() - t0
+    # recovered=None (shape inference): the oracle's solution layout is
+    # problem-dependent — TV solves the DUAL (recover() must map p to
+    # the image; passing recovered=True here printed a nonsense 1.95
+    # "oracle recovery error" on 2026-08-19), while planar phase
+    # retrieval's oracle solves the native complex signal (recover must
+    # be skipped).  The shape rule distinguishes exactly these cases
+    # (recovery_error docstring).
     return dict(iters=r.iteration_count, seconds=dt,
                 ips=r.iteration_count / dt, converged=bool(r.converged),
                 objective=float(r.objectives[-1]),
                 rel_err=prob.recovery_error(np.asarray(r.solution),
-                                            recovered=True))
+                                            recovered=None))
 
 
 def _readback_barrier(warm_out, repeats=3):

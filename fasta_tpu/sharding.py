@@ -48,6 +48,7 @@ __all__ = [
     "make_mesh", "make_mesh_2d", "shard_problem", "shard_problem_2d",
     "RowShardedDenseOp", "RowShardedPlanarDenseOp", "ShardedCDPOp",
     "RowShardedSparseOp", "GridShardedDenseOp",
+    "GridShardedSparseOp", "sharded_sparse_lstsq_gradmap_2d",
     "GridShardedPlanarDenseOp", "RowShardedTVDivOp",
     "replicate", "shard_rows",
     "shard_cols", "sharded_lstsq_gradmap", "sharded_lstsq_gradmap_2d",
@@ -599,6 +600,143 @@ def sharded_lstsq_gradmap_2d(op: "GridShardedDenseOp", b):
     return lambda x: fn(op.A, b, x)
 
 
+@jax.tree_util.register_pytree_node_class
+class GridShardedSparseOp(LinearOp):
+    """Sparse operator on the 2-D (rows × cols) wide-problem mesh —
+    the BCOO analog of :class:`GridShardedDenseOp`.
+
+    The scipy matrix is split into an R×C grid of blocks at placement
+    time; each block's (data, indices) are nnz-padded to the global max
+    block nnz (pad entries carry zero data at local (0,0) — exact
+    no-ops) and stacked on leading (R, C) device axes, so shard_map
+    sees plain dense carrier arrays grid-sharded like A itself.
+    Forward: local (m/R × n/C) BCOO matvec + psum over the col axis →
+    d row-sharded; adjoint: local Aᵢⱼᵀ yᵢ + psum over the row axis →
+    g col-sharded.  One all-reduce per leg, each riding a single mesh
+    axis — the identical collective budget to the dense 2-D operator.
+    """
+
+    def __init__(self, data, indices, block_rows: int, block_cols: int,
+                 mesh: Mesh, row_axis: str = "rows",
+                 col_axis: str = "cols"):
+        self.data = data               # (R, C, nnz_pad)
+        self.indices = indices         # (R, C, nnz_pad, 2) int32, local
+        self.block_rows = block_rows
+        self.block_cols = block_cols
+        self.mesh = mesh
+        self.row_axis = row_axis
+        self.col_axis = col_axis
+
+    @classmethod
+    def from_scipy(cls, sp_matrix, mesh: Mesh, row_axis: str = "rows",
+                   col_axis: str = "cols", dtype=None):
+        import numpy as onp
+        sp_matrix = sp_matrix.tocsr()
+        if dtype is not None:
+            sp_matrix = sp_matrix.astype(onp.dtype(dtype))
+        m, n = sp_matrix.shape
+        R = mesh.shape[row_axis]
+        C = mesh.shape[col_axis]
+        if m % R != 0 or n % C != 0:
+            raise ValueError(f"sparse {m}x{n} not divisible by mesh "
+                             f"{R}x{C}")
+        br, bc = m // R, n // C
+        blocks = [[sp_matrix[i * br:(i + 1) * br,
+                             j * bc:(j + 1) * bc].tocoo()
+                   for j in range(C)] for i in range(R)]
+        nnz_pad = max(max(b.nnz for row in blocks for b in row), 1)
+        data = onp.zeros((R, C, nnz_pad), sp_matrix.dtype)
+        indices = onp.zeros((R, C, nnz_pad, 2), onp.int32)
+        for i in range(R):
+            for j in range(C):
+                blk = blocks[i][j]
+                data[i, j, :blk.nnz] = blk.data
+                indices[i, j, :blk.nnz, 0] = blk.row
+                indices[i, j, :blk.nnz, 1] = blk.col
+        grid = NamedSharding(mesh, P(row_axis, col_axis, None))
+        grid4 = NamedSharding(mesh, P(row_axis, col_axis, None, None))
+        return cls(jax.device_put(jnp.asarray(data), grid),
+                   jax.device_put(jnp.asarray(indices), grid4),
+                   br, bc, mesh, row_axis, col_axis)
+
+    @classmethod
+    def from_bcoo(cls, M, mesh: Mesh, row_axis: str = "rows",
+                  col_axis: str = "cols"):
+        import numpy as onp
+        import scipy.sparse as sp
+        data = onp.asarray(M.data)
+        idx = onp.asarray(M.indices)
+        coo = sp.coo_matrix((data, (idx[:, 0], idx[:, 1])), shape=M.shape)
+        return cls.from_scipy(coo, mesh, row_axis, col_axis)
+
+    def _local_bcoo(self, data_blk, indices_blk):
+        from jax.experimental import sparse as jsparse
+        return jsparse.BCOO((data_blk[0, 0], indices_blk[0, 0]),
+                            shape=(self.block_rows, self.block_cols))
+
+    def __call__(self, x):
+        rx, cx = self.row_axis, self.col_axis
+
+        def fwd(data_blk, indices_blk, x_blk):
+            d = self._local_bcoo(data_blk, indices_blk) @ x_blk
+            return jax.lax.psum(d, cx)
+
+        return shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(rx, cx, None), P(rx, cx, None, None), P(cx)),
+            out_specs=P(rx),
+        )(self.data, self.indices, x)
+
+    def rmatvec(self, y):
+        rx, cx = self.row_axis, self.col_axis
+
+        def adj(data_blk, indices_blk, y_blk):
+            g = self._local_bcoo(data_blk, indices_blk).T @ y_blk
+            return jax.lax.psum(g, rx)
+
+        return shard_map(
+            adj, mesh=self.mesh,
+            in_specs=(P(rx, cx, None), P(rx, cx, None, None), P(rx)),
+            out_specs=P(cx),
+        )(self.data, self.indices, y)
+
+    @property
+    def shape(self):
+        return (self.data.shape[0] * self.block_rows,
+                self.data.shape[1] * self.block_cols)
+
+    def tree_flatten(self):
+        return (self.data, self.indices), (
+            self.block_rows, self.block_cols, self.mesh,
+            self.row_axis, self.col_axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def sharded_sparse_lstsq_gradmap_2d(op: "GridShardedSparseOp", b):
+    """Fused least-squares gradmap on the sparse 2-D mesh — the exact
+    collective budget of :func:`sharded_lstsq_gradmap_2d`: one psum
+    over cols for d, one fused psum over rows for (f, g)."""
+    rx, cx = op.row_axis, op.col_axis
+
+    def local(data_blk, indices_blk, b_blk, x_blk):
+        A_blk = op._local_bcoo(data_blk, indices_blk)
+        d_blk = jax.lax.psum(A_blk @ x_blk, cx)
+        r = d_blk - b_blk
+        f_part = 0.5 * jnp.real(jnp.vdot(r, r))
+        g_part = A_blk.T @ r
+        f, g = jax.lax.psum((f_part, g_part), rx)
+        return d_blk, f, g
+
+    fn = shard_map(local, mesh=op.mesh,
+                   in_specs=(P(rx, cx, None), P(rx, cx, None, None),
+                             P(rx), P(cx)),
+                   out_specs=(P(rx), P(), P(cx)))
+    return lambda x: fn(op.data, op.indices, b, x)
+
+
 def _planar_combine_fwd(p, q):
     """(Ar x, Ai x) → planar product  d = [pr − qi, pi + qr]."""
     return jnp.stack([p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]], axis=-1)
@@ -856,15 +994,22 @@ def shard_problem_2d(problem: Problem, mesh: Mesh,
     problems (:class:`~fasta_tpu.operators.PlanarDenseOp`) take the same
     layout via :class:`GridShardedPlanarDenseOp`: both channel matrices
     grid-sharded, planar signal vectors (n,2) sharded on their signal
-    axis over cols."""
-    from .operators import PlanarDenseOp
+    axis over cols.  Sparse problems
+    (:class:`~fasta_tpu.operators.SparseOp`) take it via
+    :class:`GridShardedSparseOp` (grid-blocked BCOO carriers, same
+    one-psum-per-leg budget)."""
+    from .operators import PlanarDenseOp, SparseOp
     planar = isinstance(problem.op, PlanarDenseOp)
-    if not planar and not isinstance(problem.op, DenseOp):
-        raise TypeError("shard_problem_2d supports DenseOp and "
-                        "PlanarDenseOp problems "
+    sparse = isinstance(problem.op, SparseOp)
+    if not planar and not sparse and not isinstance(problem.op, DenseOp):
+        raise TypeError("shard_problem_2d supports DenseOp, "
+                        "PlanarDenseOp and SparseOp problems "
                         f"(got {type(problem.op).__name__})")
-    A = jnp.asarray(problem.op.Ar if planar else problem.op.A)
-    m, n = A.shape
+    if sparse:
+        m, n = problem.op.shape
+    else:
+        A = jnp.asarray(problem.op.Ar if planar else problem.op.A)
+        m, n = A.shape
     R = mesh.shape[row_axis]
     C = mesh.shape[col_axis]
     if m % R != 0 or n % C != 0:
@@ -890,6 +1035,12 @@ def shard_problem_2d(problem: Problem, mesh: Mesh,
     fterm = jax.tree_util.tree_map(lambda l: place(l, "m"), problem.fterm)
     gterm = jax.tree_util.tree_map(lambda l: place(l, "n"), problem.gterm)
     x0 = place(problem.x0, "n")
+    if sparse:
+        op = GridShardedSparseOp.from_bcoo(problem.op.M, mesh,
+                                           row_axis, col_axis)
+        return problem.with_parts(op=op, fterm=fterm, gterm=gterm,
+                                  x0=x0,
+                                  name=problem.name + f"@{R}x{C}dev")
     grid_spec = NamedSharding(mesh, P(row_axis, col_axis))
     if planar:
         op = GridShardedPlanarDenseOp(

@@ -126,15 +126,19 @@ class LeastSquares(SmoothTerm):
         from .operators import DenseOp, ScaledOp, TVDiv2D
         from .sharding import (GridShardedDenseOp,
                                GridShardedPlanarDenseOp,
+                               GridShardedSparseOp,
                                RowShardedDenseOp, RowShardedTVDivOp,
                                sharded_lstsq_gradmap,
                                sharded_lstsq_gradmap_2d,
                                sharded_planar_lstsq_gradmap_2d,
+                               sharded_sparse_lstsq_gradmap_2d,
                                sharded_tv_lstsq_gradmap)
         if isinstance(op, RowShardedDenseOp):
             return sharded_lstsq_gradmap(op, self.b)
         if isinstance(op, GridShardedDenseOp):
             return sharded_lstsq_gradmap_2d(op, self.b)
+        if isinstance(op, GridShardedSparseOp):
+            return sharded_sparse_lstsq_gradmap_2d(op, self.b)
         if isinstance(op, GridShardedPlanarDenseOp):
             return sharded_planar_lstsq_gradmap_2d(op, self.b)
         if isinstance(op, RowShardedTVDivOp):

@@ -115,6 +115,21 @@ def test_2d_mesh_planar_collective_budget():
     assert n_ag == 0
 
 
+def test_2d_mesh_sparse_collective_budget():
+    """Sparse wide-problem layout (GridShardedSparseOp): identical
+    budget to the dense 2-D mesh — 2 per fused gradmap region (col-axis
+    psum for d, fused row-axis psum for (f,g)) x 3 regions + 2 col-axis
+    scalar psums = 8 (measured); the grid-blocked BCOO carriers must
+    never be gathered."""
+    prob = problems.build("sparse_lasso", m=320, n=160, density=0.05,
+                          k=10, dtype=jnp.float64)
+    txt = _compiled_text(prob, two_d=True, max_iters=50)
+    n_ar, n_ag = _collectives(txt)
+    assert n_ar == 8, f"unexpected all-reduce count {n_ar}"
+    assert n_ag == 0
+    assert "f64[320,160]" not in txt, "matrix not partitioned"
+
+
 def test_phase_retrieval_collective_budget():
     prob = problems.build("phase_retrieval", m=512, n=16,
                           dtype=jnp.complex128)

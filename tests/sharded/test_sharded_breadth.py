@@ -114,6 +114,42 @@ def test_sharded_sparse_scalar_sequence_identity():
                                atol=1e-8)
 
 
+def test_sparse_2d_mesh_op_matches_bcoo():
+    """GridShardedSparseOp matvec pair == the dense materialization on
+    the 2x4 wide-problem mesh."""
+    prob = problems.build("sparse_lasso", m=320, n=160, density=0.05,
+                          k=10, dtype=jnp.float64)
+    mesh = sh.make_mesh_2d(2, 4)
+    sprob = sh.shard_problem_2d(prob, mesh)
+    assert isinstance(sprob.op, sh.GridShardedSparseOp)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(160))
+    y = jnp.asarray(rng.standard_normal(320))
+    A = prob.instance["A_sparse"].toarray()
+    np.testing.assert_allclose(np.asarray(sprob.op(x)), A @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sprob.op.rmatvec(y)), A.T @ y,
+                               atol=1e-12)
+
+
+def test_sparse_2d_mesh_scalar_sequence_identity():
+    """Sparse wide-problem layout: full solve on the 2x4 grid matches
+    the single-device trajectory (same iteration count, taus to
+    reduction-order noise)."""
+    prob = problems.build("sparse_lasso", m=320, n=160, density=0.05,
+                          k=10, dtype=jnp.float64)
+    prob.tau0 = 0.05
+    r_single = _solve(prob)
+    mesh = sh.make_mesh_2d(2, 4)
+    sprob = sh.shard_problem_2d(prob, mesh)
+    r_shard = _solve(sprob)
+    assert r_shard.iteration_count == r_single.iteration_count
+    k = r_single.iteration_count
+    np.testing.assert_allclose(r_shard.taus[:k], r_single.taus[:k],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_shard.solution, r_single.solution,
+                               atol=1e-8)
+
+
 # ------------------------------------------------- TV halo exchange --
 
 @pytest.mark.parametrize("hw", [(64, 32), (80, 24), (8, 200)])
