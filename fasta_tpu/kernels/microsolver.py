@@ -19,9 +19,12 @@ double-word f32 — the XLA ``precision="auto"`` analog, with the dd
 reduction trees fully vectorized on the VPU (same machinery as
 kernels/microsolver_tv.py).
 
-Scope: L1/nonneg/box prox (LASSO/BPDN, NNLS, box-constrained LS
-families), real f32, single chip.  The general solver remains the XLA
-while_loop; this is the speed-of-light path for the headline workload.
+Scope: dense real f32 A, single chip; smooth losses ``loss`` ∈
+{"lstsq" ½‖Ax−b‖², "logistic" Σlog(1+exp(Ax))−bᵀAx, "squared_hinge"
+½Σmax(0,1−y⊙Ax)²} × prox ``prox`` ∈ {"l1", "nonneg", "box", "ridge"} —
+the LASSO/BPDN, NNLS, box-constrained LS, sparse-logistic and SVM
+problem families.  The general solver remains the XLA while_loop; this
+is the speed-of-light path for VMEM-resident instances.
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ def supports_microsolver(m: int, n: int, dtype) -> bool:
 def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                  max_backtracks, kpad, engine="vpu", prox="l1",
                  hp=False, accelerate=False, restart=True,
-                 restart_dd=False):
+                 restart_dd=False, loss="lstsq"):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
@@ -108,13 +111,42 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                 r, A, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=mxu_prec)
 
-        def fof(d):
-            """f(d) = ½‖d − b‖² (dd under hp)."""
-            r = d - b
-            if hp:
-                p_, e_ = prec.two_prod(r, r)
-                return prec.dd_scale(dd_reduce(p_, e_), 0.5)
-            return 0.5 * jnp.sum(r * r)
+        if loss == "lstsq":
+            def fof(d):
+                """f(d) = ½‖d − b‖² (dd under hp)."""
+                r = d - b
+                if hp:
+                    p_, e_ = prec.two_prod(r, r)
+                    return prec.dd_scale(dd_reduce(p_, e_), 0.5)
+                return 0.5 * jnp.sum(r * r)
+
+            def lgrad(d):
+                return d - b
+        elif loss == "logistic":
+            # stable Σ log(1+exp(d)) − bᵀd (terms.Logistic formulas);
+            # hp mirrors value_parts = (ℓ, 0) through the dd tree
+            def fof(d):
+                ell = (jnp.maximum(d, 0.0)
+                       + jnp.log1p(jnp.exp(-jnp.abs(d))) - b * d)
+                if hp:
+                    return dd_reduce(ell, jnp.zeros_like(ell))
+                return jnp.sum(ell)
+
+            def lgrad(d):
+                return 1.0 / (1.0 + jnp.exp(-d)) - b
+        elif loss == "squared_hinge":
+            # ½ Σ max(0, 1 − y⊙d)² with labels y ≡ b (terms.SquaredHinge)
+            def fof(d):
+                r = jnp.maximum(0.0, 1.0 - b * d)
+                if hp:
+                    p_, e_ = prec.two_prod(r, r)
+                    return prec.dd_scale(dd_reduce(p_, e_), 0.5)
+                return 0.5 * jnp.sum(r * r)
+
+            def lgrad(d):
+                return -b * jnp.maximum(0.0, 1.0 - b * d)
+        else:                              # pragma: no cover
+            raise ValueError(f"unknown loss {loss!r}")
 
         def f_hi(f):
             return f.hi if hp else f
@@ -130,6 +162,9 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         elif prox == "box":
             def shrink(z, t):
                 return jnp.clip(z, -1.0, 1.0)
+        elif prox == "ridge":
+            def shrink(z, t):
+                return z / (1.0 + t)           # t = τ·λ (mu carries λ)
         else:                              # pragma: no cover
             raise ValueError(f"unknown prox {prox!r}")
 
@@ -137,7 +172,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
         tau0 = ts_ref[0]
         d0 = fwd(x0)
         f0 = fof(d0)
-        g0 = adj(d0 - b)
+        g0 = adj(lgrad(d0))
         neg = jnp.full((1, _WPAD), -jnp.inf, jnp.float32)
         fwin = jnp.where(lane_w == 0, f_hi(f0), neg)
         fwin_lo = (jnp.where(lane_w == 0, f0.lo,
@@ -245,7 +280,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                 beta = (alpha0 - 1.0) / alpha1
                 y_n = x1 + beta * (x1 - xa_c)
                 d_n = d1 + beta * (d1 - dacc_c)     # A is linear
-                g_n = adj(d_n - b)
+                g_n = adj(lgrad(d_n))
                 f_n = fof(d_n)
                 # the window records f at the NEXT search point (the
                 # extrapolated y) — oracle/solver.py semantics; on a
@@ -289,7 +324,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                 x1 = shrink(x1hat, tau * mu)
                 dx = x1 - x_c
                 d1 = fwd(x1)
-                return x1hat, x1, dx, fof(d1), adj(d1 - b)
+                return x1hat, x1, dx, fof(d1), adj(lgrad(d1))
 
             tau = tau_c
             first = fb(tau)
@@ -343,15 +378,18 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
     jax.jit,
     static_argnames=("mu", "max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "engine", "prox",
-                     "hp", "accelerate", "restart", "restart_dd"))
+                     "hp", "accelerate", "restart", "restart_dd", "loss"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                      interpret=False, engine="vpu", prox="l1",
                      hp=False, accelerate=False, restart=True,
-                     restart_dd=False):
-    """Whole-solve kernel for  min ½‖Ax−b‖² + g(x)  with g selected by
-    ``prox``: "l1" (μ‖·‖₁ — LASSO/BPDN), "nonneg" (NNLS), or "box"
-    ([−1,1] indicator).
+                     restart_dd=False, loss="lstsq"):
+    """Whole-solve kernel for  min f(Ax) + g(x)  with f selected by
+    ``loss``: "lstsq" (½‖·−b‖²), "logistic" (Σlog(1+exp(·))−bᵀ·, labels
+    b ∈ {0,1}) or "squared_hinge" (½Σmax(0,1−b⊙·)², labels b ∈ {±1});
+    g selected by ``prox``: "l1" (μ‖·‖₁ — LASSO/BPDN/sparse logistic),
+    "nonneg" (NNLS), "box" ([−1,1] indicator) or "ridge" ((μ/2)‖·‖² —
+    SVM; μ carries λ).
 
     ``accelerate=True`` runs FISTA with O'Donoghue–Candès gradient
     restart instead of the BB stepsize; the extrapolated point's
@@ -370,7 +408,7 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                         max_backtracks, kpad, engine, prox, hp,
-                        accelerate, restart, restart_dd)
+                        accelerate, restart, restart_dd, loss)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
     x, taus, res, k, conv = pl.pallas_call(
         kern,

@@ -29,8 +29,9 @@ import numpy as np
 
 from .operators import DenseOp, PlanarDenseOp, ScaledOp, TVDiv2D
 from .problem import Problem
-from .terms import (BoxIndicator, L1Norm, LeastSquares, NonnegIndicator,
-                    PlanarLinearAnchor, PlanarPhaseHinge)
+from .terms import (BoxIndicator, L1Norm, L2Norm2, LeastSquares, Logistic,
+                    NonnegIndicator, PlanarLinearAnchor, PlanarPhaseHinge,
+                    SquaredHinge)
 
 __all__ = ["MicroResult", "microsolve", "microsolve_supported"]
 
@@ -84,28 +85,39 @@ def _dispatch(problem: Problem):
                           f"> 48 MB)")
         return "planar", None
 
-    if isinstance(op, DenseOp) and isinstance(f, LeastSquares):
-        nd = jnp.ndim(f.b)
+    if isinstance(op, DenseOp) and isinstance(
+            f, (LeastSquares, Logistic, SquaredHinge)):
+        loss = {LeastSquares: "lstsq", Logistic: "logistic",
+                SquaredHinge: "squared_hinge"}[type(f)]
+        data = f.b if not isinstance(f, SquaredHinge) else f.y
+        nd = jnp.ndim(data)
         if nd != 1:
-            return None, f"dense kernel needs a vector b, got ndim={nd}"
+            return None, (f"dense kernel needs a vector of measurements/"
+                          f"labels, got ndim={nd}")
         if isinstance(g, L1Norm):
             if jnp.ndim(g.mu) != 0:
                 return None, ("dense kernel needs a scalar mu (static in "
                               "the kernel); batched/vmap-swept mu has no "
                               "whole-solve kernel")
-            return "dense", ("l1", float(np.asarray(g.mu)))
+            return "dense", (loss, "l1", float(np.asarray(g.mu)))
         if isinstance(g, NonnegIndicator):
-            return "dense", ("nonneg", 0.0)
+            return "dense", (loss, "nonneg", 0.0)
         if isinstance(g, BoxIndicator) and g.lo == -1.0 and g.hi == 1.0:
-            return "dense", ("box", 0.0)
+            return "dense", (loss, "box", 0.0)
+        if isinstance(g, L2Norm2):
+            if jnp.ndim(g.lam) != 0:
+                return None, ("dense kernel needs a scalar ridge lambda "
+                              "(static in the kernel)")
+            return "dense", (loss, "ridge", float(np.asarray(g.lam)))
         return None, (f"dense kernel supports L1Norm/NonnegIndicator/"
-                      f"BoxIndicator(-1,1) prox terms, got "
+                      f"BoxIndicator(-1,1)/L2Norm2 prox terms, got "
                       f"{type(g).__name__}")
 
     return None, (f"no whole-solve kernel for operator "
                   f"{type(op).__name__} + smooth {type(f).__name__} "
-                  f"(supported: ScaledOp(TVDiv2D) TV dual, DenseOp "
-                  f"least squares, PlanarDenseOp PhaseMax)")
+                  f"(supported: ScaledOp(TVDiv2D) TV dual, DenseOp with "
+                  f"least-squares/logistic/squared-hinge loss, "
+                  f"PlanarDenseOp PhaseMax)")
 
 
 def microsolve_supported(problem: Problem) -> tuple:
@@ -209,15 +221,17 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     else:
         from .kernels.microsolver import microsolve_lasso
 
-        prox, mu = detail
+        loss, prox, mu = detail
         A = jnp.asarray(problem.op.A, jnp.float32)
-        b = jnp.asarray(problem.fterm.b, jnp.float32)
+        data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
+                else problem.fterm.b)
+        b = jnp.asarray(data, jnp.float32)
         x0 = jnp.asarray(problem.x0, jnp.float32)
         x, taus, res, k, conv = microsolve_lasso(
             A, b, x0, tau0, mu, max_iters=max_iters, window=window,
             tol=tol, shrink_factor=shrink_factor,
             max_backtracks=max_backtracks, interpret=interpret,
-            engine=engine or "vpu", prox=prox,
+            engine=engine or "vpu", prox=prox, loss=loss,
             hp=bool(hp), accelerate=accelerate, restart=restart,
             restart_dd=restart_dd)
         sol = x.reshape(-1)

@@ -13,10 +13,17 @@ def test_supported_reports_structures():
     lasso = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
     tv = problems.build("tv", h=16, w=16, dtype=jnp.float32)
     logistic = problems.build("logistic", m=64, n=32, dtype=jnp.float32)
+    svm = problems.build("svm", m=64, n=32, dtype=jnp.float32)
+    democratic = problems.build("democratic", m=64, n=128,
+                                dtype=jnp.float32)
     assert microsolve_supported(lasso) == (True, "dense")
     assert microsolve_supported(tv) == (True, "tv")
-    ok, why = microsolve_supported(logistic)
-    assert not ok and "Logistic" in why
+    # round-3: logistic (L1) and SVM (squared hinge + ridge) gained
+    # whole-solve kernels
+    assert microsolve_supported(logistic) == (True, "dense")
+    assert microsolve_supported(svm) == (True, "dense")
+    ok, why = microsolve_supported(democratic)
+    assert not ok and "LinfNorm" in why
 
 
 def test_supported_reports_planar():
@@ -35,8 +42,8 @@ def test_auto_tau0_fallback():
 
 
 def test_unsupported_raises_with_reason():
-    prob = problems.build("logistic", m=64, n=32, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="Logistic"):
+    prob = problems.build("democratic", m=64, n=128, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="LinfNorm"):
         microsolve(prob, tau0=1.0, max_iters=10)
 
 
@@ -66,6 +73,83 @@ def test_nnls_dispatch_nonneg_prox():
     rx = prob.solve(tol=1e-6, max_iters=120, fuse=False,
                     precision="standard")
     np.testing.assert_allclose(r.solution, rx.solution, atol=1e-5)
+
+
+def _objective(prob, x):
+    x = jnp.asarray(x)
+    return float(prob.fterm.value(prob.op(x)) + prob.gterm.value(x))
+
+
+def test_logistic_dispatch_matches_xla():
+    """Sparse logistic (Logistic + L1) routes onto the dense kernel with
+    loss='logistic': trajectory-prefix parity plus converged-objective
+    parity (nonquadratic losses bifurcate at the f32 noise floor near
+    the stopping boundary, so iteration counts are not pinned)."""
+    prob = problems.build("logistic", m=100, n=50, k=5, dtype=jnp.float32)
+    # prefix length: BB stepsizes are ratios of differences, so ulp
+    # noise from the kernel's VPU accumulation order amplifies ~10x
+    # per 5 iterations; rel drift is <2e-5 through iter 14
+    K = 14
+    r = microsolve(prob, tau0=0.05, max_iters=K, tol=0.0)
+    prob.tau0 = 0.05
+    rx = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                    stop_rule="iterations", precision="standard")
+    np.testing.assert_allclose(r.taus[:K], rx.taus[:K], rtol=1e-4)
+    np.testing.assert_allclose(r.residuals[:K], rx.residuals[:K],
+                               rtol=1e-4)
+    rc = microsolve(prob, tau0=0.05, max_iters=400, tol=1e-6)
+    rxc = prob.solve(tol=1e-6, max_iters=400, fuse=False,
+                     precision="standard")
+    assert rc.converged and rxc.converged
+    fk, fx = _objective(prob, rc.solution), _objective(prob, rxc.solution)
+    assert abs(fk - fx) <= 1e-5 * (1.0 + abs(fx))
+
+
+def test_svm_dispatch_ridge_prox():
+    """SVM (SquaredHinge + L2Norm2 ridge) routes onto the dense kernel
+    with loss='squared_hinge', prox='ridge' — same parity contract as
+    the logistic test (the hinge's active set flips on ulp noise)."""
+    prob = problems.build("svm", m=80, n=40, dtype=jnp.float32)
+    K = 14
+    r = microsolve(prob, tau0=0.05, max_iters=K, tol=0.0)
+    prob.tau0 = 0.05
+    rx = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                    stop_rule="iterations", precision="standard")
+    np.testing.assert_allclose(r.taus[:K], rx.taus[:K], rtol=1e-4)
+    np.testing.assert_allclose(r.residuals[:K], rx.residuals[:K],
+                               rtol=1e-4)
+    rc = microsolve(prob, tau0=0.05, max_iters=400, tol=1e-6)
+    rxc = prob.solve(tol=1e-6, max_iters=400, fuse=False,
+                     precision="standard")
+    assert rc.converged and rxc.converged
+    fk, fx = _objective(prob, rc.solution), _objective(prob, rxc.solution)
+    assert abs(fk - fx) <= 1e-5 * (1.0 + abs(fx))
+
+
+def test_logistic_dispatch_hp_and_accel():
+    """The new losses compose with the kernel's hp and FISTA modes:
+    each converges to the XLA-standard objective (the weakly-regularized
+    logistic leaves real SOLUTION slack at tol=1e-5, so x itself is not
+    compared across modes)."""
+    prob = problems.build("logistic", m=100, n=50, k=5, dtype=jnp.float32)
+    prob.tau0 = 0.05
+    rxc = prob.solve(tol=1e-6, max_iters=600, fuse=False,
+                     precision="standard")
+    fx = _objective(prob, rxc.solution)
+    r = microsolve(prob, tau0=0.05, max_iters=600, tol=1e-6, hp=True)
+    assert r.converged
+    assert abs(_objective(prob, r.solution) - fx) <= 1e-5 * (1.0 + abs(fx))
+    # FISTA's residual stop legitimately lands ~4e-3 above the
+    # adaptive objective on this weakly-determined instance — parity is
+    # judged against the XLA ACCELERATED run, not the adaptive one
+    rxa = prob.solve(tol=1e-6, max_iters=600, fuse=False,
+                     precision="standard", adaptive=False,
+                     accelerate=True)
+    fa = _objective(prob, rxa.solution)
+    r2 = microsolve(prob, tau0=0.05, max_iters=600, tol=1e-6,
+                    accelerate=True)
+    assert r2.converged
+    assert abs(_objective(prob, r2.solution) - fa) <= 1e-4 * (1.0 + abs(fa))
 
 
 def test_tv_dispatch_hp_and_problem_method():

@@ -137,6 +137,61 @@ def test_microsolver_accel_plain_f32_prefix():
     assert int(k) == K
 
 
+def test_microsolver_logistic_hp_prefix_matches_xla_hp():
+    """loss='logistic' with in-kernel dd scalars vs the XLA hp path —
+    the kernel's hp f mirrors Logistic.value_parts = (ℓ, 0)."""
+    prob = problems.build("logistic", m=100, n=50, k=5, dtype=jnp.float32)
+    inst = prob.instance
+    K = 15
+    x, taus, res, k, conv = microsolve_lasso(
+        jnp.asarray(inst["A"], jnp.float32),
+        jnp.asarray(inst["b"], jnp.float32),
+        jnp.asarray(inst["x0"], jnp.float32),
+        0.05, float(np.asarray(prob.gterm.mu)), max_iters=K, tol=0.0,
+        interpret=True, hp=True, loss="logistic")
+    prob.tau0 = 0.05
+    r = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                   stop_rule="iterations", precision="auto")
+    np.testing.assert_allclose(np.asarray(taus[:K]), r.taus[:K],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res[:K]), r.residuals[:K],
+                               rtol=1e-4)
+
+
+def test_microsolver_svm_accel_matches_xla_accel():
+    """loss='squared_hinge' + prox='ridge' FISTA kernel vs the XLA
+    accelerated hp path: trajectory-prefix parity (the hinge's active
+    set flips on ulp noise late in the solve, so iteration counts are
+    not pinned) plus converged solutions within the f32 slack."""
+    prob = problems.build("svm", m=80, n=40, dtype=jnp.float32)
+    inst = prob.instance
+    A = jnp.asarray(inst["A"], jnp.float32)
+    b = jnp.asarray(inst["b"], jnp.float32)
+    x0 = jnp.asarray(inst["x0"], jnp.float32)
+    lam = float(np.asarray(prob.gterm.lam))
+    K = 25
+    x, taus, res, k, conv = microsolve_lasso(
+        A, b, x0, 0.05, lam, max_iters=K, tol=0.0, interpret=True,
+        hp=True, accelerate=True, restart_dd=True,
+        loss="squared_hinge", prox="ridge")
+    prob.tau0 = 0.05
+    r = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                   stop_rule="iterations", precision="auto",
+                   adaptive=False, accelerate=True)
+    np.testing.assert_allclose(np.asarray(taus[:K]), r.taus[:K],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res[:K]), r.residuals[:K],
+                               rtol=1e-4)
+    xc, _, _, kc, convc = microsolve_lasso(
+        A, b, x0, 0.05, lam, max_iters=800, tol=1e-6, interpret=True,
+        hp=True, accelerate=True, restart_dd=True,
+        loss="squared_hinge", prox="ridge")
+    rc = prob.solve(tol=1e-6, max_iters=800, fuse=False,
+                    precision="auto", adaptive=False, accelerate=True)
+    assert bool(convc) and rc.converged
+    np.testing.assert_allclose(np.asarray(xc), rc.solution, atol=1e-3)
+
+
 def test_microsolver_backtracking_path():
     """Huge tau0 must trigger in-kernel backtracking and still solve."""
     prob = problems.build("lasso", m=120, n=240, k=10, dtype=jnp.float32)
