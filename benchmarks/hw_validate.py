@@ -325,4 +325,105 @@ print(f"[8] planar micro 16384x256 HW ({KCH8} chained solves/readback): "
       f"taus[0:12] match XLA rtol 5e-3; to-tol {best/KCH8*1e3:.2f} ms / "
       f"{iters8} iters (XLA loop was ~93 us/iter on 2026-08-17)")
 
+# ---- 9. dense microsolver NEW LOSSES (logistic / squared hinge) ----------
+# The loss='logistic'/'squared_hinge' kernel branches (round-3) only ran
+# in interpret mode until this check: exp/log1p and the hinge's select
+# must lower through Mosaic.  Prefix parity under hp (dd scalars keep
+# the comparison tight); converged-objective parity per structure.
+for pname, kwargs in (("logistic", dict()), ("svm", dict())):
+    px = problems.build(pname, dtype=jnp.float32, **kwargs)
+    px.tau0 = 0.05
+    r9 = microsolve(px, max_iters=120, tol=0.0, hp=True)
+    rx9 = px.solve(tol=1e-12, max_iters=15, fuse=False,
+                   stop_rule="iterations", precision="auto")
+    np.testing.assert_allclose(np.asarray(r9.taus[:10]),
+                               np.asarray(rx9.taus)[:10], rtol=1e-4)
+    rc9 = microsolve(px, max_iters=2000, tol=1e-5, hp=True)
+    rxc9 = px.solve(tol=1e-5, max_iters=2000, fuse=False,
+                    precision="auto")
+    xs = jnp.asarray(rc9.solution)
+    fk9 = float(px.fterm.value(px.op(xs)) + px.gterm.value(xs))
+    xx9 = jnp.asarray(rxc9.solution)
+    fx9 = float(px.fterm.value(px.op(xx9)) + px.gterm.value(xx9))
+    assert abs(fk9 - fx9) <= 1e-4 * (1.0 + abs(fx9)), (pname, fk9, fx9)
+    # FISTA mode of the new loss lowers and converges on chip too
+    ra9 = microsolve(px, max_iters=3000, tol=1e-5, hp=True,
+                     accelerate=True)
+    print(f"[9] {pname} micro HW: taus[0:10] match XLA hp rtol 1e-4; "
+          f"obj {fk9:.6f} vs XLA {fx9:.6f} "
+          f"({int(rc9.iteration_count)} vs {int(rxc9.iteration_count)} "
+          f"iters); fista k={int(ra9.iteration_count)} "
+          f"conv={ra9.converged}")
+
+# ---- 10. batched microsolver (vmap -> leading grid axis) ------------------
+# microsolve_batch lowers jax.vmap over the whole-solve kernel to a
+# Pallas GRID axis — a lowering path interpret mode does not exercise.
+# Correctness: per-instance equality vs separate launches ON CHIP.
+# Perf: batch-of-B in one launch vs B data-chained single launches.
+from fasta_tpu import microsolve_batch
+
+pb = problems.build("lasso", dtype=jnp.float32)     # 1000x2000 baseline
+pb.tau0 = 0.05
+b10 = jnp.asarray(pb.fterm.b, jnp.float32)
+B10 = 32
+bs10 = jnp.stack([b10 * (1.0 + 0.01 * i) for i in range(B10)])
+rb = microsolve_batch(pb, bs10, max_iters=400, tol=1e-5)
+for i in (0, B10 // 2, B10 - 1):
+    pi = pb.with_parts(fterm=type(pb.fterm)(bs10[i]))
+    ri = microsolve(pi, tau0=0.05, max_iters=400, tol=1e-5)
+    assert rb.iteration_counts[i] == ri.iteration_count, (
+        i, rb.iteration_counts[i], ri.iteration_count)
+    np.testing.assert_array_equal(np.asarray(rb.solutions[i]),
+                                  np.asarray(ri.solution))
+# timing: one 21-iter solve is ~0.07 ms — thousands per readback or
+# the tunnel RTT swamps the wall (negative-net on a 29 ms day).  Both
+# arms run KB10 x B10 identical solves; the batched arm scans KB10
+# vmapped launches (data-chained through x0s), the single arm chains
+# KB10*B10 individual launches.
+from fasta_tpu.kernels.microsolver import microsolve_lasso as _msl
+
+A10 = jnp.asarray(pb.op.A, jnp.float32)
+x010 = jnp.asarray(pb.x0, jnp.float32)
+mu10 = float(np.asarray(pb.gterm.mu))
+KB10 = 160                      # 160*32 = 5120 solves ≈ 350 ms/readback
+bs_same = jnp.stack([b10] * B10)
+x0s_same = jnp.stack([x010] * B10)
+
+
+@jax.jit
+def run_batch(x0s_):
+    def step(xc, _):
+        x, _t, _r, k_, _c = jax.vmap(
+            lambda bb, xx: _msl(A10, bb, xx, 0.05, mu10, max_iters=400,
+                                tol=1e-5))(bs_same, xc)
+        return x0s_ + 0.0 * x, k_
+    _xf, ks = jax.lax.scan(step, x0s_, None, length=KB10)
+    return jnp.sum(ks[-1])
+
+
+float(run_batch(x0s_same))
+bt = 1e9
+for _ in range(3):
+    t0 = time.perf_counter(); float(run_batch(x0s_same))
+    bt = min(bt, time.perf_counter() - t0 - rtt)
+
+
+def call10(xc):
+    x, _t, _r, k_, _c = _msl(A10, b10, xc, 0.05, mu10, max_iters=400,
+                             tol=1e-5)
+    return x, k_
+
+
+run_single = chain_solves(call10, x010, KB10 * B10)
+int(run_single(x010))
+st = 1e9
+for _ in range(3):
+    t0 = time.perf_counter(); int(run_single(x010))
+    st = min(st, time.perf_counter() - t0 - rtt)
+nsol = KB10 * B10
+print(f"[10] batched micro B={B10} HW: instances bit-match separate "
+      f"launches; {bt/nsol*1e3:.4f} ms/solve batched vs "
+      f"{st/nsol*1e3:.4f} ms/solve chained-single "
+      f"({st/bt:.2f}x, {nsol} solves per readback)")
+
 print("ALL REVALIDATION OK")

@@ -34,7 +34,8 @@ from .solver import (
     FastaResult, DeviceResult, SolverState, Diagnostics,
 )
 from . import precision
-from .micro import MicroResult, microsolve, microsolve_supported
+from .micro import (MicroBatchResult, MicroResult, microsolve,
+                    microsolve_batch, microsolve_supported)
 from .problem import Problem
 from .terms import (
     SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge, NMFLoss,
@@ -58,7 +59,8 @@ __all__ = [
     "ProxTerm", "L1Norm", "LinfNorm", "L21Norm", "NuclearNorm",
     "NonnegIndicator", "BoxIndicator", "LinfBallIndicator",
     "MaxRowNormBall", "LinearAnchor", "PlanarLinearAnchor", "L2Norm2", "ZeroTerm",
-    "Problem", "MicroResult", "microsolve", "microsolve_supported",
+    "Problem", "MicroBatchResult", "MicroResult", "microsolve",
+    "microsolve_batch", "microsolve_supported",
     "FunctionProx", "as_smooth_term", "as_prox_term", "checkpoint",
     "operators", "plotting", "profiling", "prox", "smooth", "terms",
 ]

@@ -33,7 +33,8 @@ from .terms import (BoxIndicator, L1Norm, L2Norm2, LeastSquares, Logistic,
                     NonnegIndicator, PlanarLinearAnchor, PlanarPhaseHinge,
                     SquaredHinge)
 
-__all__ = ["MicroResult", "microsolve", "microsolve_supported"]
+__all__ = ["MicroBatchResult", "MicroResult", "microsolve",
+           "microsolve_batch", "microsolve_supported"]
 
 
 @dataclass
@@ -186,55 +187,13 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         raise ValueError(f"unknown engine {engine!r} (choose mxu or vpu)")
 
     t0 = time.perf_counter()
-    if kind == "planar":
-        from .kernels.microsolver_planar import microsolve_planar_phasemax
-
-        x, taus, res, k, conv = microsolve_planar_phasemax(
-            jnp.asarray(problem.op.Ar, jnp.float32),
-            jnp.asarray(problem.op.Ai, jnp.float32),
-            jnp.asarray(problem.fterm.b, jnp.float32),
-            jnp.asarray(problem.gterm.c, jnp.float32),
-            jnp.asarray(problem.x0, jnp.float32),
-            tau0, max_iters=max_iters, window=window, tol=tol,
-            shrink_factor=shrink_factor, max_backtracks=max_backtracks,
-            interpret=interpret, hp=bool(hp), accelerate=accelerate,
-            restart=restart, restart_dd=restart_dd,
-            engine=engine or "vpu")
-        sol = x
-    elif kind == "tv":
-        from .kernels.microsolver_tv import microsolve_tv
-
-        if engine is not None:
-            raise ValueError("engine selects the dense/planar kernels' "
-                             "matvec formulation; the TV stencil kernel "
-                             "has none — omit it for TV problems")
-        hp_tv = True if hp is None else hp
-        mu = detail
-        b = jnp.asarray(problem.fterm.b, jnp.float32)
-        p0 = jnp.asarray(problem.x0, jnp.float32)
-        p, taus, res, k, conv = microsolve_tv(
-            b, p0, tau0, mu, max_iters=max_iters, window=window, tol=tol,
-            shrink_factor=shrink_factor, max_backtracks=max_backtracks,
-            interpret=interpret, hp=hp_tv, accelerate=accelerate,
-            restart=restart, restart_dd=restart_dd)
-        sol = p
-    else:
-        from .kernels.microsolver import microsolve_lasso
-
-        loss, prox, mu = detail
-        A = jnp.asarray(problem.op.A, jnp.float32)
-        data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
-                else problem.fterm.b)
-        b = jnp.asarray(data, jnp.float32)
-        x0 = jnp.asarray(problem.x0, jnp.float32)
-        x, taus, res, k, conv = microsolve_lasso(
-            A, b, x0, tau0, mu, max_iters=max_iters, window=window,
-            tol=tol, shrink_factor=shrink_factor,
-            max_backtracks=max_backtracks, interpret=interpret,
-            engine=engine or "vpu", prox=prox, loss=loss,
-            hp=bool(hp), accelerate=accelerate, restart=restart,
-            restart_dd=restart_dd)
-        sol = x.reshape(-1)
+    call, b, x0 = _kernel_call(
+        kind, detail, problem, tau0, max_iters=max_iters, window=window,
+        tol=tol, shrink_factor=shrink_factor,
+        max_backtracks=max_backtracks, hp=hp, engine=engine,
+        accelerate=accelerate, restart=restart, restart_dd=restart_dd,
+        interpret=interpret)
+    sol, taus, res, k, conv = call(b, x0)
 
     k = int(k)
     return MicroResult(
@@ -245,3 +204,167 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         taus=np.asarray(taus).reshape(-1)[:k],
         solve_time=time.perf_counter() - t0,
     )
+
+
+@dataclass
+class MicroBatchResult:
+    """Result of a batched whole-solve kernel run: the leading axis of
+    every field is the instance axis.  ``solutions`` stays on device
+    (same rationale as :class:`MicroResult`); the per-instance scalar
+    and diagnostic fields are host-materialized, with each instance's
+    residual/tau trajectories trimmed to ITS iteration count (ragged —
+    a list of (kᵢ,) arrays)."""
+
+    solutions: jax.Array                 # (B, *solution_shape)
+    iteration_counts: np.ndarray         # (B,) int
+    converged: np.ndarray                # (B,) bool
+    residuals: list                      # B arrays of shape (kᵢ,)
+    taus: list
+    solve_time: float
+
+
+def microsolve_batch(problem: Problem, bs, x0s=None,
+                     tau0: Optional[float] = None,
+                     max_iters: int = 1000, tol: float = 1e-3,
+                     window: int = 10, shrink_factor: float = 0.2,
+                     max_backtracks: int = 20,
+                     hp: Optional[bool] = None,
+                     engine: Optional[str] = None,
+                     accelerate: bool = False, restart: bool = True,
+                     restart_dd: bool = False,
+                     interpret: Optional[bool] = None) -> MicroBatchResult:
+    """Solve a BATCH of instances sharing ``problem``'s operator in ONE
+    kernel launch — the serving path for many-measurement workloads.
+
+    ``bs`` stacks the per-instance measurement/label vectors on a new
+    leading axis (shape ``(B,) + problem.fterm`` data shape); ``x0s``
+    optionally stacks per-instance starts (defaults to broadcasting
+    ``problem.x0``).  The batch is ``jax.vmap`` over the whole-solve
+    kernel, which Pallas lowers to a leading GRID axis: instances
+    execute back-to-back on-core with zero host round trips and zero
+    per-instance launch overhead, and the operator block is shared
+    across grid steps.  Each instance runs the full adaptive/FISTA
+    solve with its own stopping decision — results are bit-identical
+    to B separate :func:`microsolve` calls (tested).
+
+    All kernel options mean exactly what they mean on
+    :func:`microsolve`; ``tau0`` is shared across the batch (it is a
+    host scalar entering SMEM).  Structure support and error behavior
+    follow :func:`microsolve`."""
+    kind, detail = _dispatch(problem)
+    if kind is None:
+        raise ValueError(f"microsolve_batch: {detail}")
+
+    if tau0 is None:
+        tau0 = problem.tau0
+    if tau0 is None:
+        from .solver import estimate_stepsize
+        tau0_arr, _ = estimate_stepsize(problem.op, problem.fterm,
+                                        jnp.asarray(problem.x0,
+                                                    jnp.float32), key=0)
+        tau0 = float(tau0_arr)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if engine is not None and engine not in ("mxu", "vpu"):
+        raise ValueError(f"unknown engine {engine!r} (choose mxu or vpu)")
+
+    t0 = time.perf_counter()
+    call, b1, x01 = _kernel_call(
+        kind, detail, problem, tau0, max_iters=max_iters, window=window,
+        tol=tol, shrink_factor=shrink_factor,
+        max_backtracks=max_backtracks, hp=hp, engine=engine,
+        accelerate=accelerate, restart=restart, restart_dd=restart_dd,
+        interpret=interpret)
+
+    bs = jnp.asarray(bs, jnp.float32)
+    if bs.ndim != b1.ndim + 1:
+        raise ValueError(f"bs must stack {b1.ndim}-d instance data on a "
+                         f"leading batch axis, got ndim={bs.ndim}")
+    B = bs.shape[0]
+    if x0s is None:
+        x0s = jnp.broadcast_to(x01, (B,) + x01.shape)
+    else:
+        x0s = jnp.asarray(x0s, jnp.float32)
+        if x0s.shape != (B,) + x01.shape:
+            raise ValueError(f"x0s shape {x0s.shape} != "
+                             f"{(B,) + x01.shape}")
+
+    sols, taus, res, ks, convs = jax.vmap(call)(bs, x0s)
+    ks_h = np.asarray(ks).reshape(B)
+    taus_h = np.asarray(taus).reshape(B, -1)
+    res_h = np.asarray(res).reshape(B, -1)
+    return MicroBatchResult(
+        solutions=sols,
+        iteration_counts=ks_h,
+        converged=np.asarray(convs).reshape(B) > 0,
+        residuals=[res_h[i, :ks_h[i]] for i in range(B)],
+        taus=[taus_h[i, :ks_h[i]] for i in range(B)],
+        solve_time=time.perf_counter() - t0,
+    )
+
+
+def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
+                 shrink_factor, max_backtracks, hp, engine, accelerate,
+                 restart, restart_dd, interpret):
+    """Build ``(call, b, x0)``: a ``call(b, x0) -> (solution, taus,
+    residuals, k, converged)`` closure over the problem's STATIC data
+    (operator matrices, anchors, kernel options) plus the instance's
+    batchable data (measurements/labels b, start x0).  ``microsolve``
+    invokes it once; ``microsolve_batch`` vmaps it — Pallas lowers the
+    vmap to a leading grid axis, so the whole batch is ONE kernel
+    launch with the operator block shared across grid steps."""
+    if kind == "planar":
+        from .kernels.microsolver_planar import microsolve_planar_phasemax
+
+        Ar = jnp.asarray(problem.op.Ar, jnp.float32)
+        Ai = jnp.asarray(problem.op.Ai, jnp.float32)
+        c = jnp.asarray(problem.gterm.c, jnp.float32)
+
+        def call(b, x0):
+            return microsolve_planar_phasemax(
+                Ar, Ai, b, c, x0, tau0, max_iters=max_iters,
+                window=window, tol=tol, shrink_factor=shrink_factor,
+                max_backtracks=max_backtracks, interpret=interpret,
+                hp=bool(hp), accelerate=accelerate, restart=restart,
+                restart_dd=restart_dd, engine=engine or "vpu")
+
+        b = jnp.asarray(problem.fterm.b, jnp.float32)
+    elif kind == "tv":
+        from .kernels.microsolver_tv import microsolve_tv
+
+        if engine is not None:
+            raise ValueError("engine selects the dense/planar kernels' "
+                             "matvec formulation; the TV stencil kernel "
+                             "has none — omit it for TV problems")
+        hp_tv = True if hp is None else hp
+        mu = detail
+
+        def call(b, x0):
+            return microsolve_tv(
+                b, x0, tau0, mu, max_iters=max_iters, window=window,
+                tol=tol, shrink_factor=shrink_factor,
+                max_backtracks=max_backtracks, interpret=interpret,
+                hp=hp_tv, accelerate=accelerate, restart=restart,
+                restart_dd=restart_dd)
+
+        b = jnp.asarray(problem.fterm.b, jnp.float32)
+    else:
+        from .kernels.microsolver import microsolve_lasso
+
+        loss, prox, mu = detail
+        A = jnp.asarray(problem.op.A, jnp.float32)
+
+        def call(b, x0):
+            x, taus, res, k, conv = microsolve_lasso(
+                A, b, x0, tau0, mu, max_iters=max_iters, window=window,
+                tol=tol, shrink_factor=shrink_factor,
+                max_backtracks=max_backtracks, interpret=interpret,
+                engine=engine or "vpu", prox=prox, loss=loss,
+                hp=bool(hp), accelerate=accelerate, restart=restart,
+                restart_dd=restart_dd)
+            return x.reshape(-1), taus, res, k, conv
+
+        data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
+                else problem.fterm.b)
+        b = jnp.asarray(data, jnp.float32)
+    return call, b, jnp.asarray(problem.x0, jnp.float32)

@@ -62,6 +62,13 @@ class Problem:
         from .micro import microsolve as _micro
         return _micro(self, **kwargs)
 
+    def microsolve_batch(self, bs, x0s=None, **kwargs):
+        """Batched whole-solve kernel: solve B instances sharing this
+        problem's operator in ONE launch; see
+        :func:`fasta_tpu.micro.microsolve_batch`."""
+        from .micro import microsolve_batch as _micro_batch
+        return _micro_batch(self, bs, x0s=x0s, **kwargs)
+
     def with_parts(self, **kwargs) -> "Problem":
         """Copy with replaced fields (used by sharding placement)."""
         return replace(self, **kwargs)

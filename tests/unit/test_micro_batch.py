@@ -1,0 +1,101 @@
+"""Batched whole-solve kernels (microsolve_batch): one vmapped launch
+must be BIT-identical to B separate microsolve calls — interpret mode.
+
+Pallas lowers the vmap to a leading grid axis; each grid step runs the
+full in-kernel solve with its own stopping decision, so per-instance
+trajectories cannot interact by construction.  These tests pin that.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import problems
+from fasta_tpu import microsolve, microsolve_batch
+
+
+def _stack_perturbed(b, B):
+    return jnp.stack([jnp.asarray(b, jnp.float32) * (1.0 + 0.02 * i)
+                      for i in range(B)])
+
+
+@pytest.mark.parametrize("mode", [dict(), dict(hp=True),
+                                  dict(accelerate=True)])
+def test_dense_batch_bit_identical(mode):
+    prob = problems.build("lasso", m=120, n=240, k=10, dtype=jnp.float32)
+    B = 3
+    bs = _stack_perturbed(prob.fterm.b, B)
+    rb = microsolve_batch(prob, bs, tau0=0.05, max_iters=200, tol=1e-6,
+                          **mode)
+    assert rb.solutions.shape == (B, 240)
+    for i in range(B):
+        pi = prob.with_parts(fterm=type(prob.fterm)(bs[i]))
+        ri = microsolve(pi, tau0=0.05, max_iters=200, tol=1e-6, **mode)
+        assert rb.iteration_counts[i] == ri.iteration_count
+        assert rb.converged[i] == ri.converged
+        np.testing.assert_array_equal(np.asarray(rb.solutions[i]),
+                                      np.asarray(ri.solution))
+        np.testing.assert_array_equal(rb.residuals[i], ri.residuals)
+        np.testing.assert_array_equal(rb.taus[i], ri.taus)
+
+
+def test_dense_batch_custom_starts_and_losses():
+    """x0s batching + the logistic loss branch under vmap."""
+    prob = problems.build("logistic", m=100, n=50, k=5,
+                          dtype=jnp.float32)
+    B = 2
+    bs = jnp.stack([jnp.asarray(prob.fterm.b, jnp.float32)] * B)
+    x0s = jnp.stack([jnp.asarray(prob.x0, jnp.float32) * (1.0 + 0.1 * i)
+                     for i in range(B)])
+    rb = microsolve_batch(prob, bs, x0s=x0s, tau0=0.05, max_iters=300,
+                          tol=1e-5)
+    for i in range(B):
+        pi = prob.with_parts(x0=x0s[i])
+        ri = microsolve(pi, tau0=0.05, max_iters=300, tol=1e-5)
+        assert rb.iteration_counts[i] == ri.iteration_count
+        np.testing.assert_array_equal(np.asarray(rb.solutions[i]),
+                                      np.asarray(ri.solution))
+
+
+def test_tv_batch_bit_identical():
+    prob = problems.build("tv", h=16, w=16, dtype=jnp.float32)
+    B = 2
+    bs = _stack_perturbed(prob.fterm.b, B)
+    rb = microsolve_batch(prob, bs, tau0=2.0, max_iters=200, tol=1e-4)
+    assert rb.solutions.shape == (B, 2, 16, 16)
+    for i in range(B):
+        pi = prob.with_parts(fterm=type(prob.fterm)(bs[i]))
+        ri = microsolve(pi, tau0=2.0, max_iters=200, tol=1e-4)
+        assert rb.iteration_counts[i] == ri.iteration_count
+        np.testing.assert_array_equal(np.asarray(rb.solutions[i]),
+                                      np.asarray(ri.solution))
+
+
+def test_planar_batch_bit_identical():
+    prob = problems.build("phase_retrieval", m=128, n=16, planar=True,
+                          dtype=jnp.float32)
+    B = 2
+    bs = _stack_perturbed(prob.fterm.b, B)
+    rb = microsolve_batch(prob, bs, tau0=1.0, max_iters=150, tol=1e-4)
+    for i in range(B):
+        pi = prob.with_parts(fterm=type(prob.fterm)(bs[i]))
+        ri = microsolve(pi, tau0=1.0, max_iters=150, tol=1e-4)
+        assert rb.iteration_counts[i] == ri.iteration_count
+        np.testing.assert_array_equal(np.asarray(rb.solutions[i]),
+                                      np.asarray(ri.solution))
+
+
+def test_batch_shape_validation():
+    prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="leading batch axis"):
+        microsolve_batch(prob, jnp.asarray(prob.fterm.b), tau0=0.05)
+    bs = _stack_perturbed(prob.fterm.b, 2)
+    bad_x0 = jnp.zeros((3, 128), jnp.float32)
+    with pytest.raises(ValueError, match="x0s shape"):
+        microsolve_batch(prob, bs, x0s=bad_x0, tau0=0.05)
+
+
+def test_batch_unsupported_structure_raises():
+    prob = problems.build("democratic", m=64, n=128, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="LinfNorm"):
+        microsolve_batch(prob, jnp.zeros((2, 64)), tau0=0.05)
