@@ -426,4 +426,29 @@ print(f"[10] batched micro B={B10} HW: instances bit-match separate "
       f"{st/nsol*1e3:.4f} ms/solve chained-single "
       f"({st/bt:.2f}x, {nsol} solves per readback)")
 
+# ---- 11. mu as a runtime SMEM scalar + regularization-path sweep ----------
+# The penalty weight moved from a compile-time constant to ts_ref[1]
+# (one executable per option set; vmap over mu = path in one launch).
+# Verify the SMEM read lowers correctly and the sweep bit-matches
+# per-mu launches ON CHIP.
+from fasta_tpu import microsolve_sweep
+from fasta_tpu.terms import L1Norm as _L1
+
+mus11 = jnp.asarray([0.02, 0.05, 0.2], jnp.float32)
+rs11 = microsolve_sweep(pb, mus11, tau0=0.05, max_iters=400, tol=1e-5)
+for i, mu_ in enumerate(np.asarray(mus11)):
+    pi = pb.with_parts(gterm=_L1(float(mu_)))
+    ri = microsolve(pi, tau0=0.05, max_iters=400, tol=1e-5)
+    assert rs11.iteration_counts[i] == ri.iteration_count, (
+        i, rs11.iteration_counts[i], ri.iteration_count)
+    np.testing.assert_array_equal(np.asarray(rs11.solutions[i]),
+                                  np.asarray(ri.solution))
+ptv11 = problems.build("tv", h=64, w=64, dtype=jnp.float32)
+rtv11 = microsolve_sweep(ptv11, jnp.asarray([0.05, 0.1], jnp.float32),
+                         tau0=2.0, max_iters=600, tol=1e-5)
+print(f"[11] mu-sweep HW: dense path bit-matches per-mu launches "
+      f"(iters {list(rs11.iteration_counts)}); tv sweep iters "
+      f"{list(rtv11.iteration_counts)} conv="
+      f"{bool(np.all(rtv11.converged))}")
+
 print("ALL REVALIDATION OK")

@@ -35,7 +35,8 @@ from .solver import (
 )
 from . import precision
 from .micro import (MicroBatchResult, MicroResult, microsolve,
-                    microsolve_batch, microsolve_supported)
+                    microsolve_batch, microsolve_supported,
+                    microsolve_sweep)
 from .problem import Problem
 from .terms import (
     SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge, NMFLoss,
@@ -60,7 +61,7 @@ __all__ = [
     "NonnegIndicator", "BoxIndicator", "LinfBallIndicator",
     "MaxRowNormBall", "LinearAnchor", "PlanarLinearAnchor", "L2Norm2", "ZeroTerm",
     "Problem", "MicroBatchResult", "MicroResult", "microsolve",
-    "microsolve_batch", "microsolve_supported",
+    "microsolve_batch", "microsolve_supported", "microsolve_sweep",
     "FunctionProx", "as_smooth_term", "as_prox_term", "checkpoint",
     "operators", "plotting", "profiling", "prox", "smooth", "terms",
 ]

@@ -51,7 +51,7 @@ def supports_microsolver(m: int, n: int, dtype) -> bool:
             and vmem_ok)
 
 
-def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
+def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, engine="vpu", prox="l1",
                  hp=False, accelerate=False, restart=True,
                  restart_dd=False, loss="lstsq"):
@@ -72,6 +72,16 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
                x_ref, taus_ref, res_ref, k_ref, conv_ref):
         A = A_ref[:]                       # (m, n) pinned in VMEM
         b = b_ref[:]                       # (1, m)
+        # μ is a RUNTIME SMEM scalar (ts_ref[0,1]), not a compile-time
+        # constant: one executable serves every penalty weight, and
+        # vmapping over it solves a whole regularization path in one
+        # launch (the XLA solver's "penalty weights are leaves"
+        # invariant, kept in-kernel).  ts is (1,2), NOT (2,): a vmapped
+        # (B,2) SMEM operand gets a (1,2) block whose second-to-last
+        # dim violates Mosaic's block rule (caught on hardware,
+        # 2026-08-19 — passes interpret); (B,1,2) with a full (1,2)
+        # trailing block lowers.
+        mu = ts_ref[0, 1]
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
         # Per-iteration recording is O(1): a (1,128) accumulator row in
         # the carry, flushed to the (kpad//128, 128) output ref at
@@ -169,7 +179,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
             raise ValueError(f"unknown prox {prox!r}")
 
         x0 = x0_ref[:]                     # (1, n)
-        tau0 = ts_ref[0]
+        tau0 = ts_ref[0, 0]
         d0 = fwd(x0)
         f0 = fof(d0)
         g0 = adj(lgrad(d0))
@@ -376,7 +386,7 @@ def _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mu", "max_iters", "window", "tol", "shrink_factor",
+    static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
@@ -406,10 +416,15 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     """
     m, n = A.shape
     kpad = ((max_iters + 127) // 128) * 128
-    kern = _make_kernel(m, n, max_iters, window, tol, mu, shrink_factor,
+    kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss)
-    ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
+    # τ₀ and μ ride the SMEM scalar vector: μ is a traced leaf (one
+    # executable per option set serves every penalty weight; vmap over
+    # it = in-kernel regularization path).  Shape (1,2) — see the
+    # kernel comment on Mosaic's batched-SMEM block rule.
+    ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
+                    jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
     x, taus, res, k, conv = pl.pallas_call(
         kern,
         in_specs=[

@@ -31,7 +31,7 @@ __all__ = ["microsolve_tv"]
 _WPAD = 128
 
 
-def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
+def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
                  restart_dd=False):
     from .. import precision as prec
@@ -40,6 +40,12 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
                xv_ref, xh_ref, taus_ref, res_ref, k_ref, conv_ref):
         b = b_ref[:]
+        # the TV weight μ is a RUNTIME SMEM scalar (ts_ref[0,1]) — one
+        # executable per option set serves every μ; vmap over it solves
+        # a denoising-strength sweep in one launch.  ts is (1,2): a
+        # vmapped (B,2) SMEM operand violates Mosaic's block rule
+        # (see kernels/microsolver.py)
+        mu = ts_ref[0, 1]
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
         # O(1) per-iteration recording (see kernels/microsolver.py): a
         # (1,128) accumulator row flushed to the (kpad//128, 128) output
@@ -100,7 +106,7 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
 
         pv0 = pv_ref[:]
         ph0 = ph_ref[:]
-        tau0 = ts_ref[0]
+        tau0 = ts_ref[0, 0]
         if accelerate:
             d0 = fwd(pv0, ph0)
             f0 = fof(d0)
@@ -340,7 +346,7 @@ def _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mu", "max_iters", "window", "tol", "shrink_factor",
+    static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd"))
 def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
@@ -380,10 +386,11 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     """
     h, w = b.shape
     kpad = ((max_iters + 127) // 128) * 128
-    kern = _make_kernel(h, w, max_iters, window, tol, mu, shrink_factor,
+    kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd)
-    ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
+    ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
+                    jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
     xv, xh, taus, res, k, conv = pl.pallas_call(
         kern,
         in_specs=[

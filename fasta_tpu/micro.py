@@ -34,7 +34,8 @@ from .terms import (BoxIndicator, L1Norm, L2Norm2, LeastSquares, Logistic,
                     SquaredHinge)
 
 __all__ = ["MicroBatchResult", "MicroResult", "microsolve",
-           "microsolve_batch", "microsolve_supported"]
+           "microsolve_batch", "microsolve_supported",
+           "microsolve_sweep"]
 
 
 @dataclass
@@ -97,9 +98,8 @@ def _dispatch(problem: Problem):
                           f"labels, got ndim={nd}")
         if isinstance(g, L1Norm):
             if jnp.ndim(g.mu) != 0:
-                return None, ("dense kernel needs a scalar mu (static in "
-                              "the kernel); batched/vmap-swept mu has no "
-                              "whole-solve kernel")
+                return None, ("dense kernel needs a scalar mu per solve; "
+                              "for a mu sweep use microsolve_sweep")
             return "dense", (loss, "l1", float(np.asarray(g.mu)))
         if isinstance(g, NonnegIndicator):
             return "dense", (loss, "nonneg", 0.0)
@@ -108,7 +108,8 @@ def _dispatch(problem: Problem):
         if isinstance(g, L2Norm2):
             if jnp.ndim(g.lam) != 0:
                 return None, ("dense kernel needs a scalar ridge lambda "
-                              "(static in the kernel)")
+                              "per solve; for a lambda sweep use "
+                              "microsolve_sweep")
             return "dense", (loss, "ridge", float(np.asarray(g.lam)))
         return None, (f"dense kernel supports L1Norm/NonnegIndicator/"
                       f"BoxIndicator(-1,1)/L2Norm2 prox terms, got "
@@ -187,13 +188,13 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         raise ValueError(f"unknown engine {engine!r} (choose mxu or vpu)")
 
     t0 = time.perf_counter()
-    call, b, x0 = _kernel_call(
+    call, b, x0, mu = _kernel_call(
         kind, detail, problem, tau0, max_iters=max_iters, window=window,
         tol=tol, shrink_factor=shrink_factor,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         interpret=interpret)
-    sol, taus, res, k, conv = call(b, x0)
+    sol, taus, res, k, conv = call(b, x0, mu)
 
     k = int(k)
     return MicroResult(
@@ -269,7 +270,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
         raise ValueError(f"unknown engine {engine!r} (choose mxu or vpu)")
 
     t0 = time.perf_counter()
-    call, b1, x01 = _kernel_call(
+    call, b1, x01, mu1 = _kernel_call(
         kind, detail, problem, tau0, max_iters=max_iters, window=window,
         tol=tol, shrink_factor=shrink_factor,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
@@ -289,7 +290,12 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
             raise ValueError(f"x0s shape {x0s.shape} != "
                              f"{(B,) + x01.shape}")
 
-    sols, taus, res, ks, convs = jax.vmap(call)(bs, x0s)
+    sols, taus, res, ks, convs = jax.vmap(
+        call, in_axes=(0, 0, None))(bs, x0s, mu1)
+    return _pack_batch(sols, taus, res, ks, convs, B, t0)
+
+
+def _pack_batch(sols, taus, res, ks, convs, B, t0):
     ks_h = np.asarray(ks).reshape(B)
     taus_h = np.asarray(taus).reshape(B, -1)
     res_h = np.asarray(res).reshape(B, -1)
@@ -303,16 +309,81 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
     )
 
 
+def microsolve_sweep(problem: Problem, mus,
+                     tau0: Optional[float] = None,
+                     max_iters: int = 1000, tol: float = 1e-3,
+                     window: int = 10, shrink_factor: float = 0.2,
+                     max_backtracks: int = 20,
+                     hp: Optional[bool] = None,
+                     engine: Optional[str] = None,
+                     accelerate: bool = False, restart: bool = True,
+                     restart_dd: bool = False,
+                     interpret: Optional[bool] = None) -> MicroBatchResult:
+    """Solve the REGULARIZATION PATH in one kernel launch: one full
+    solve per penalty weight in ``mus`` (dense problems: μ of the L1
+    term / λ of the ridge; TV: the TV weight), vmapped over the
+    kernels' runtime SMEM μ scalar → a leading Pallas grid axis.
+
+    Each path point runs the complete adaptive/FISTA solve from
+    ``problem.x0`` with its own stopping decision; results are
+    bit-identical to per-μ :func:`microsolve` calls (tested).  Unlike
+    :func:`~fasta_tpu.solver.solve_path` (XLA continuation scan with
+    warm starts), this is an embarrassingly-parallel cold-start sweep —
+    use it when path points are independent (cross-validation) rather
+    than warm-start-chained.
+
+    PhaseMax problems have no penalty weight — raises ``ValueError``.
+    """
+    kind, detail = _dispatch(problem)
+    if kind is None:
+        raise ValueError(f"microsolve_sweep: {detail}")
+    if kind == "planar":
+        raise ValueError("microsolve_sweep: the planar PhaseMax kernel "
+                         "has no penalty weight to sweep")
+
+    if tau0 is None:
+        tau0 = problem.tau0
+    if tau0 is None:
+        from .solver import estimate_stepsize
+        tau0_arr, _ = estimate_stepsize(problem.op, problem.fterm,
+                                        jnp.asarray(problem.x0,
+                                                    jnp.float32), key=0)
+        tau0 = float(tau0_arr)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if engine is not None and engine not in ("mxu", "vpu"):
+        raise ValueError(f"unknown engine {engine!r} (choose mxu or vpu)")
+
+    t0 = time.perf_counter()
+    call, b1, x01, _mu1 = _kernel_call(
+        kind, detail, problem, tau0, max_iters=max_iters, window=window,
+        tol=tol, shrink_factor=shrink_factor,
+        max_backtracks=max_backtracks, hp=hp, engine=engine,
+        accelerate=accelerate, restart=restart, restart_dd=restart_dd,
+        interpret=interpret)
+
+    mus = jnp.asarray(mus, jnp.float32)
+    if mus.ndim != 1:
+        raise ValueError(f"mus must be a 1-D vector of penalty weights, "
+                         f"got ndim={mus.ndim}")
+    B = mus.shape[0]
+    sols, taus, res, ks, convs = jax.vmap(
+        call, in_axes=(None, None, 0))(b1, x01, mus)
+    return _pack_batch(sols, taus, res, ks, convs, B, t0)
+
+
 def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                  shrink_factor, max_backtracks, hp, engine, accelerate,
                  restart, restart_dd, interpret):
-    """Build ``(call, b, x0)``: a ``call(b, x0) -> (solution, taus,
-    residuals, k, converged)`` closure over the problem's STATIC data
-    (operator matrices, anchors, kernel options) plus the instance's
-    batchable data (measurements/labels b, start x0).  ``microsolve``
-    invokes it once; ``microsolve_batch`` vmaps it — Pallas lowers the
-    vmap to a leading grid axis, so the whole batch is ONE kernel
-    launch with the operator block shared across grid steps."""
+    """Build ``(call, b, x0, mu)``: a ``call(b, x0, mu) -> (solution,
+    taus, residuals, k, converged)`` closure over the problem's STATIC
+    data (operator matrices, anchors, kernel options) plus the
+    instance's batchable leaves (measurements/labels b, start x0, and —
+    dense/TV — the penalty weight μ, a runtime SMEM scalar in the
+    kernels).  ``microsolve`` invokes it once; ``microsolve_batch`` /
+    ``microsolve_sweep`` vmap it — Pallas lowers the vmap to a leading
+    grid axis, so the whole batch is ONE kernel launch with the
+    operator block shared across grid steps."""
     if kind == "planar":
         from .kernels.microsolver_planar import microsolve_planar_phasemax
 
@@ -320,7 +391,7 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
         Ai = jnp.asarray(problem.op.Ai, jnp.float32)
         c = jnp.asarray(problem.gterm.c, jnp.float32)
 
-        def call(b, x0):
+        def call(b, x0, _mu):
             return microsolve_planar_phasemax(
                 Ar, Ai, b, c, x0, tau0, max_iters=max_iters,
                 window=window, tol=tol, shrink_factor=shrink_factor,
@@ -329,6 +400,7 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 restart_dd=restart_dd, engine=engine or "vpu")
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
+        mu = 0.0                    # PhaseMax has no penalty weight
     elif kind == "tv":
         from .kernels.microsolver_tv import microsolve_tv
 
@@ -339,9 +411,9 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
         hp_tv = True if hp is None else hp
         mu = detail
 
-        def call(b, x0):
+        def call(b, x0, mu_):
             return microsolve_tv(
-                b, x0, tau0, mu, max_iters=max_iters, window=window,
+                b, x0, tau0, mu_, max_iters=max_iters, window=window,
                 tol=tol, shrink_factor=shrink_factor,
                 max_backtracks=max_backtracks, interpret=interpret,
                 hp=hp_tv, accelerate=accelerate, restart=restart,
@@ -354,9 +426,9 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
         loss, prox, mu = detail
         A = jnp.asarray(problem.op.A, jnp.float32)
 
-        def call(b, x0):
+        def call(b, x0, mu_):
             x, taus, res, k, conv = microsolve_lasso(
-                A, b, x0, tau0, mu, max_iters=max_iters, window=window,
+                A, b, x0, tau0, mu_, max_iters=max_iters, window=window,
                 tol=tol, shrink_factor=shrink_factor,
                 max_backtracks=max_backtracks, interpret=interpret,
                 engine=engine or "vpu", prox=prox, loss=loss,
@@ -367,4 +439,4 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
         data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
                 else problem.fterm.b)
         b = jnp.asarray(data, jnp.float32)
-    return call, b, jnp.asarray(problem.x0, jnp.float32)
+    return call, b, jnp.asarray(problem.x0, jnp.float32), mu

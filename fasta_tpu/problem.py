@@ -69,6 +69,12 @@ class Problem:
         from .micro import microsolve_batch as _micro_batch
         return _micro_batch(self, bs, x0s=x0s, **kwargs)
 
+    def microsolve_sweep(self, mus, **kwargs):
+        """Regularization path in ONE kernel launch (one full solve per
+        penalty weight); see :func:`fasta_tpu.micro.microsolve_sweep`."""
+        from .micro import microsolve_sweep as _micro_sweep
+        return _micro_sweep(self, mus, **kwargs)
+
     def with_parts(self, **kwargs) -> "Problem":
         """Copy with replaced fields (used by sharding placement)."""
         return replace(self, **kwargs)

@@ -95,6 +95,52 @@ def test_batch_shape_validation():
         microsolve_batch(prob, bs, x0s=bad_x0, tau0=0.05)
 
 
+def test_dense_sweep_bit_identical():
+    """microsolve_sweep solves the regularization path in one launch —
+    mu is a runtime SMEM scalar, vmapped to a grid axis; each path
+    point must bit-match a per-mu microsolve."""
+    from fasta_tpu import L1Norm
+
+    prob = problems.build("lasso", m=120, n=240, k=10, dtype=jnp.float32)
+    mus = jnp.asarray([0.02, 0.05, 0.2], jnp.float32)
+    rs = prob.microsolve_sweep(mus, tau0=0.05, max_iters=200, tol=1e-6)
+    assert rs.solutions.shape == (3, 240)
+    for i, mu in enumerate(np.asarray(mus)):
+        pi = prob.with_parts(gterm=L1Norm(float(mu)))
+        ri = microsolve(pi, tau0=0.05, max_iters=200, tol=1e-6)
+        assert rs.iteration_counts[i] == ri.iteration_count
+        np.testing.assert_array_equal(np.asarray(rs.solutions[i]),
+                                      np.asarray(ri.solution))
+    # stronger mu => sparser solution (sanity of the path semantics)
+    nnz = [int(np.sum(np.abs(np.asarray(rs.solutions[i])) > 1e-7))
+           for i in range(3)]
+    assert nnz[0] >= nnz[1] >= nnz[2]
+
+
+def test_tv_sweep_bit_identical():
+    from fasta_tpu.operators import ScaledOp
+
+    prob = problems.build("tv", h=16, w=16, dtype=jnp.float32)
+    mus = jnp.asarray([0.05, 0.1], jnp.float32)
+    rs = prob.microsolve_sweep(mus, tau0=2.0, max_iters=200, tol=1e-4)
+    for i, mu in enumerate(np.asarray(mus)):
+        pi = prob.with_parts(op=ScaledOp(float(mu), prob.op.op))
+        ri = microsolve(pi, tau0=2.0, max_iters=200, tol=1e-4)
+        assert rs.iteration_counts[i] == ri.iteration_count
+        np.testing.assert_array_equal(np.asarray(rs.solutions[i]),
+                                      np.asarray(ri.solution))
+
+
+def test_sweep_planar_and_shape_validation():
+    pr = problems.build("phase_retrieval", m=128, n=16, planar=True,
+                        dtype=jnp.float32)
+    with pytest.raises(ValueError, match="no penalty weight"):
+        pr.microsolve_sweep(jnp.asarray([0.1, 0.2]), tau0=1.0)
+    prob = problems.build("lasso", m=64, n=128, k=6, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="1-D vector"):
+        prob.microsolve_sweep(jnp.zeros((2, 2)), tau0=0.05)
+
+
 def test_batch_unsupported_structure_raises():
     prob = problems.build("democratic", m=64, n=128, dtype=jnp.float32)
     with pytest.raises(ValueError, match="LinfNorm"):
