@@ -141,6 +141,33 @@ def test_sweep_planar_and_shape_validation():
         prob.microsolve_sweep(jnp.zeros((2, 2)), tau0=0.05)
 
 
+def test_sweep_agrees_with_solve_path():
+    """Cross-API consistency: the cold-start kernel sweep and the
+    warm-started XLA continuation (solve_path) reach the same objective
+    at every path point."""
+    from fasta_tpu import FastaOptions, L1Norm
+    from fasta_tpu.solver import solve_path
+
+    prob = problems.build("lasso", m=120, n=240, k=10, dtype=jnp.float32)
+    mus = jnp.asarray([0.3, 0.1, 0.03], jnp.float32)   # strongest first
+    rs = prob.microsolve_sweep(mus, tau0=0.05, max_iters=400, tol=1e-7)
+    pr = solve_path(prob.op, prob.fterm, L1Norm(mus),
+                    jnp.asarray(prob.x0, jnp.float32),
+                    jnp.asarray(0.05, jnp.float32),
+                    FastaOptions(max_iters=400, tol=1e-7,
+                                 stop_rule="residual",
+                                 precision="standard"))
+    for i in range(3):
+        x_sweep = jnp.asarray(rs.solutions[i])
+        x_path = jnp.asarray(pr.solution[i])
+        mu = float(mus[i])
+        def obj(x):
+            return float(prob.fterm.value(prob.op(x))
+                         + mu * jnp.sum(jnp.abs(x)))
+        fs, fp = obj(x_sweep), obj(x_path)
+        assert abs(fs - fp) <= 1e-4 * (1.0 + abs(fp)), (i, fs, fp)
+
+
 def test_batch_unsupported_structure_raises():
     prob = problems.build("democratic", m=64, n=128, dtype=jnp.float32)
     with pytest.raises(ValueError, match="LinfNorm"):
