@@ -285,11 +285,16 @@ def main():
 
 
 def _fail_record(why: str):
+    # "partial": true marks an aborted-but-partially-measured run (a
+    # later stage hung after a best-so-far value was recorded) so it is
+    # never mistaken for a clean run even though the exit code is 0 to
+    # let the driver accept the valid measurement (round-3 ADVICE).
     print(json.dumps({
         "metric": _BEST["metric"],
         "value": round(_BEST["value"], 1),
         "unit": "iterations/s",
         "vs_baseline": round(_BEST["vs_baseline"], 2),
+        "partial": True,
     }))
     tail = ("the best already-measured stage is recorded above"
             if _BEST["value"] > 0 else

@@ -39,12 +39,15 @@ on hardware (g within 6e-7 of the XLA graph).  The dispatch policy
 follows the two measured regimes:
 
 * **HBM-streaming (A beyond VMEM residency, e.g. 8192×16384 = 512 MB)**
-  — gradmap-only, K=10 chained evals/readback: one-read VPU kernel
-  0.41 ms/eval vs XLA two-pass 1.30 ms (**3.2×**; the kernel streams A
-  at ~3× XLA's GEMV rate AND reads it once).  In the full adaptive
-  solver loop: 1,125 it/s vs 631 (**1.78×**, 0.75 vs 1.45 ms/iter net
-  of RTT — the loop adds elementwise + decision-scalar passes).
-  Earlier "1.22×"/"260 vs 520 GB/s" records were RTT-contaminated.
+  — gradmap-only, live 2026-08-19 with a data-dependency-carrying
+  K=256 chain: one-read VPU kernel 0.70 ms/eval vs XLA two-pass
+  1.40 ms (**2.00×**, both ~770 GB/s implied — 94% of the 819 GB/s
+  roofline, hardware-asserted ≤ roofline by hw_validate check [5]).
+  An earlier "0.41 ms / 3.2×" record is RETRACTED (the independent
+  K=10 evals did not serialize the A reads; 3.2× would imply 153% of
+  roofline — the one-read-vs-two-read ceiling is ≤2×).  In the full
+  adaptive solver loop: 1,125 it/s vs 631 (**1.78×** 2026-08-17,
+  RTT-amortized — the loop adds elementwise + decision-scalar passes).
   Default ON here (``supports_fusion`` auto mode).
 * **VMEM-resident (the 1000×2000 baseline, 8 MB)** — single-GEMV
   formulations measure 13.2–14.6 µs/pass (590–620 GB/s VMEM-read
@@ -99,8 +102,9 @@ def pallas_mode() -> str:
 
     "1" → on everywhere supported; "0" → off; unset/"auto" → on only in
     the HBM-streaming regime (A beyond VMEM residency), where the
-    one-read pass measured 3.2× XLA's two-pass gradmap / 1.78× the full
-    solve (RTT-amortized, 2026-08-17) — and off at VMEM-resident sizes,
+    one-read pass measured 2.00× XLA's two-pass gradmap (0.70 vs
+    1.40 ms/eval, live 2026-08-19) / 1.78× the full solve
+    (RTT-amortized, 2026-08-17) — and off at VMEM-resident sizes,
     where XLA sits near the in-kernel per-pass rate and the single-row
     GEMV kernel loses (the whole-solve MICROsolver wins there instead,
     via the explicit `fasta_tpu.microsolve` dispatch)."""
@@ -141,16 +145,19 @@ def supports_fusion(m: int, n: int, dtype) -> bool:
 
 
 def lstsq_gradmap_reference(A, x, b):
-    """Two-pass XLA fallback — the exact graph the unfused solver builds,
-    so CPU parity runs are bit-identical with fusion enabled.  Matmul
-    precision pinned to HIGHEST like DenseOp's (a no-op for true GEMV,
-    which lowers exactly; it matters the moment x grows a batch axis —
-    MXU DEFAULT rounds f32 matrix operands to bf16)."""
+    """Two-pass XLA fallback mirroring the unfused solver's gradmap
+    graph (same matvecs; f as a shape-preserving elementwise-product
+    sum rather than ``LeastSquares.value``'s ``jnp.vdot`` — XLA lowers
+    both to the same reduction on current backends, and parity tests
+    enforce the equality empirically, but it is not bit-identical BY
+    CONSTRUCTION; vdot is avoided here because its dot_general is
+    precision-unpinned on TPU).  Matmul precision pinned to HIGHEST
+    like DenseOp's (a no-op for true GEMV, which lowers exactly; it
+    matters the moment x grows a batch axis — MXU DEFAULT rounds f32
+    matrix operands to bf16)."""
     hi = jax.lax.Precision.HIGHEST
     d = jnp.matmul(A, x, precision=hi)
     r = d - b
-    # sum, not vdot: matches the solver's shape-preserving reductions
-    # and avoids an unpinned dot_general
     f = 0.5 * jnp.sum(jnp.real(r * jnp.conj(r)))
     g = jnp.matmul(A.conj().T, r, precision=hi)
     return d, f, g

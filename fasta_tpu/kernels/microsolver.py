@@ -42,13 +42,21 @@ __all__ = ["microsolve_lasso", "supports_microsolver"]
 _WPAD = 128          # nonmonotone window ring, padded to one lane row
 
 
-def supports_microsolver(m: int, n: int, dtype) -> bool:
-    import os
-    vmem_ok = m * n * 4 <= (24 << 20)
-    return (os.environ.get("FASTA_TPU_PALLAS", "0") == "1"
-            and jax.default_backend() == "tpu"
-            and dtype == jnp.float32
-            and vmem_ok)
+# A (m·n·4 f32) pinned once + the VPU engine's full-matrix broadcast
+# temporaries (A*x and A*r are each another (m,n) value) + carry
+# vectors and Mosaic stack must fit the kernel's 100 MB VMEM budget
+# (the pallas_call provisions 4·|A| + 48 MB, capped at 100 MB) — so the
+# matrix itself is bounded at 24 MB.  Oversized problems belong on the
+# streaming lstsq_fused path / the XLA loop, and microsolve() raises a
+# structured ValueError instead of dying inside the Mosaic compile.
+_DENSE_VMEM_BYTES = 24 << 20
+
+
+def supports_microsolver(m: int, n: int) -> bool:
+    """VMEM-residency gate for the dense whole-solve kernel (the
+    structure/backed checks live in micro._dispatch / microsolve —
+    calling microsolve IS the opt-in, there is no env-var gate)."""
+    return m * n * 4 <= _DENSE_VMEM_BYTES
 
 
 def _make_kernel(m, n, max_iters, window, tol, shrink_factor,

@@ -34,9 +34,25 @@ __all__ = ["microsolve_planar_phasemax", "supports_planar_microsolver"]
 _WPAD = 128
 
 
+def _row_chunk(m: int):
+    """Row-chunk size for the chunked matvecs, or None when m > 2048
+    has no 128-multiple divisor chunk — the unchunked fallback would
+    recreate the register-spill VMEM OOM the chunking exists to fix
+    (measured 2026-08-19: ~182 MB of spill slots at 16384×256), so
+    such shapes are REJECTED by the support gate rather than compiled
+    unchunked."""
+    if m <= 2048:
+        return m
+    for cand in (2048, 1024, 512, 256, 128):
+        if m % cand == 0:
+            return cand
+    return None
+
+
 def supports_planar_microsolver(m: int, n: int) -> bool:
-    """Both channel matrices + carry vectors must sit in VMEM."""
-    return 2 * m * n * 4 <= (48 << 20)
+    """Both channel matrices + carry vectors must sit in VMEM, and the
+    row count must admit a 128-multiple matvec chunk (see _row_chunk)."""
+    return 2 * m * n * 4 <= (48 << 20) and _row_chunk(m) is not None
 
 
 def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
@@ -57,12 +73,12 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     # (measured 2026-08-19).  Reading (rc, n) tiles from the pinned
     # input windows per fori_loop step bounds live temporaries to ~2 MB
     # while the matrices themselves stay resident in VMEM once.
-    rc = m
-    if m > 2048:
-        for cand in (2048, 1024, 512, 256, 128):
-            if m % cand == 0:
-                rc = cand
-                break
+    rc = _row_chunk(m)
+    if rc is None:
+        raise ValueError(
+            f"planar microsolver: m={m} > 2048 has no 128-multiple "
+            f"divisor chunk; pad the measurement rows to a multiple of "
+            f"128 (supports_planar_microsolver gates this)")
     nchunks = m // rc
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,

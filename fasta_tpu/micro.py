@@ -79,9 +79,15 @@ def _dispatch(problem: Problem):
 
     if (isinstance(op, PlanarDenseOp) and isinstance(f, PlanarPhaseHinge)
             and isinstance(g, PlanarLinearAnchor)):
-        from .kernels.microsolver_planar import supports_planar_microsolver
+        from .kernels.microsolver_planar import (_row_chunk,
+                                                 supports_planar_microsolver)
         m, n = op.Ar.shape
         if not supports_planar_microsolver(m, n):
+            if _row_chunk(m) is None:
+                return None, (f"planar PhaseMax kernel needs m divisible "
+                              f"by a 128-multiple row chunk, got m={m} — "
+                              f"pad the measurement rows to a multiple "
+                              f"of 128")
             return None, (f"planar PhaseMax kernel needs both channel "
                           f"matrices VMEM-resident (2*{m}*{n}*4 bytes "
                           f"> 48 MB)")
@@ -89,6 +95,8 @@ def _dispatch(problem: Problem):
 
     if isinstance(op, DenseOp) and isinstance(
             f, (LeastSquares, Logistic, SquaredHinge)):
+        from .kernels.microsolver import (_DENSE_VMEM_BYTES,
+                                          supports_microsolver)
         loss = {LeastSquares: "lstsq", Logistic: "logistic",
                 SquaredHinge: "squared_hinge"}[type(f)]
         data = f.b if not isinstance(f, SquaredHinge) else f.y
@@ -96,6 +104,14 @@ def _dispatch(problem: Problem):
         if nd != 1:
             return None, (f"dense kernel needs a vector of measurements/"
                           f"labels, got ndim={nd}")
+        m, n = op.A.shape
+        if not supports_microsolver(m, n):
+            return None, (
+                f"dense kernel needs A VMEM-resident: {m}x{n} f32 is "
+                f"{m * n * 4 / (1 << 20):.0f} MB > the "
+                f"{_DENSE_VMEM_BYTES >> 20} MB kernel budget — use "
+                f"Problem.solve (the streaming one-pass gradmap kernel "
+                f"auto-enables beyond 64 MB)")
         if isinstance(g, L1Norm):
             if jnp.ndim(g.mu) != 0:
                 return None, ("dense kernel needs a scalar mu per solve; "
@@ -340,6 +356,16 @@ def microsolve_sweep(problem: Problem, mus,
     if kind == "planar":
         raise ValueError("microsolve_sweep: the planar PhaseMax kernel "
                          "has no penalty weight to sweep")
+    if kind == "dense" and detail[1] in ("nonneg", "box"):
+        # the projection proxes discard the shrink threshold, so the
+        # kernel would silently return B identical solves — reject
+        # rather than silently drop the request (same contract as the
+        # planar rejection above)
+        raise ValueError(
+            f"microsolve_sweep: the {detail[1]!r} prox is a projection "
+            f"with no penalty weight — every swept mu would return the "
+            f"same solve; sweep applies to 'l1' (mu) and 'ridge' "
+            f"(lambda) dense problems and the TV weight")
 
     if tau0 is None:
         tau0 = problem.tau0
