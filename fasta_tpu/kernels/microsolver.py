@@ -39,7 +39,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["microsolve_lasso", "supports_microsolver"]
 
-_WPAD = 128          # nonmonotone window ring, padded to one lane row
+_WPAD = 128
+
+STOP_RULES = ("residual", "normalized_residual", "ratio_residual",
+              "hybrid_residual", "iterations")
+
+
+def stop_from_rule(stop_rule, res, nres, maxres, tol):
+    """C4 stopping rules, statically selected — the same five rules
+    (and the same eps_r=1e-8 convention) as the XLA solver's branch
+    (solver.py stopping-rule select); shared by all three whole-solve
+    kernels.  ``nres`` may be None when the rule doesn't need the
+    normalizer (the caller skips computing it)."""
+    if stop_rule == "residual":
+        return res < tol
+    if stop_rule == "normalized_residual":
+        return nres < tol
+    if stop_rule == "ratio_residual":
+        return res / (maxres + 1e-8) < tol
+    if stop_rule == "iterations":
+        return jnp.zeros((), jnp.bool_)
+    return (res / (maxres + 1e-8) < tol) | (nres < tol)
+
+
+def check_stop_rule(stop_rule):
+    if stop_rule not in STOP_RULES:
+        raise ValueError(f"unknown stop_rule {stop_rule!r} "
+                         f"(choose from {STOP_RULES})")          # nonmonotone window ring, padded to one lane row
 
 
 # A (m·n·4 f32) pinned once + the VPU engine's full-matrix broadcast
@@ -62,10 +88,13 @@ def supports_microsolver(m: int, n: int) -> bool:
 def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, engine="vpu", prox="l1",
                  hp=False, accelerate=False, restart=True,
-                 restart_dd=False, loss="lstsq"):
+                 restart_dd=False, loss="lstsq",
+                 stop_rule="hybrid_residual", record_fvals=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
+    # the normalized residual is only computed when a rule reads it
+    need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
 
     # "vpu" = broadcast-reduce on the vector units (exact f32; the
     # default — a batch-1 GEMV keeps 1/128 of the MXU's rows busy, and
@@ -77,7 +106,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     mxu_prec = jax.lax.Precision.HIGHEST
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
-               x_ref, taus_ref, res_ref, k_ref, conv_ref):
+               x_ref, taus_ref, res_ref, fv_ref, k_ref, conv_ref):
         A = A_ref[:]                       # (m, n) pinned in VMEM
         b = b_ref[:]                       # (1, m)
         # μ is a RUNTIME SMEM scalar (ts_ref[0,1]), not a compile-time
@@ -100,6 +129,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -110,6 +140,20 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             taus_ref[pl.ds(row, 1), :] = trow_n
             res_ref[pl.ds(row, 1), :] = rrow_n
             return trow_n, rrow_n
+
+        def record_f(k, fv, frow_c):
+            """Optional f-value row (C5 parity: fvals[k] = the XLA
+            path's f_collapse(f_record)) — a separate flush because in
+            FISTA mode f_record is known only after the mode update."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            frow_n = jnp.where(lane128 == lane, fv, frow_c)
+            fv_ref[pl.ds(row, 1), :] = frow_n
+            return frow_n
+
+        def f_plain(f):
+            return prec.dd_to_float(f) if hp else f
 
         def fwd(x):
             """d = x Aᵀ : (1,n)·(m,n)ᵀ → (1,m)."""
@@ -248,20 +292,27 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             return out[:-1]               # drop the trial counter
 
         def resid_stop(tau, x1, x1hat, dx, g_c, maxres_c):
-            """Gradient-map residual, hybrid stopping (oracle C4)."""
+            """Gradient-map residual + selectable stopping (oracle C4)."""
             nd2 = jnp.sum(dx * dx)
             res = jnp.sqrt(nd2) / tau
             maxres = jnp.maximum(maxres_c, res)
-            sm = x1 - x1hat
-            normalizer = jnp.maximum(
-                jnp.sqrt(jnp.sum(g_c * g_c)),
-                jnp.sqrt(jnp.sum(sm * sm)) / tau) + 1e-8
-            nres = res / normalizer
-            stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+            if need_nres:
+                sm = x1 - x1hat
+                normalizer = jnp.maximum(
+                    jnp.sqrt(jnp.sum(g_c * g_c)),
+                    jnp.sqrt(jnp.sum(sm * sm)) / tau) + 1e-8
+                nres = res / normalizer
+            else:
+                nres = None
+            stop = stop_from_rule(stop_rule, res, nres, maxres, tol)
             return nd2, res, maxres, stop
 
         if accelerate:
             def body(c):
+                if record_fvals:
+                    *c, frow_c = c
+                else:
+                    frow_c = None
                 (k, _stop, y_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
                  trow_c, rrow_c, xa_c, dacc_c, alpha_c) = c
 
@@ -313,8 +364,11 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 fwin_n = jnp.where(lane_w == (k + 1) % window,
                                    f_hi(f_rec), fwin_c)
 
-                return (k + 1, stop, y_n, g_n, tau, fwin_n, fwlo_n,
-                        maxres, trow_n, rrow_n, x1, d1, alpha1)
+                out = (k + 1, stop, y_n, g_n, tau, fwin_n, fwlo_n,
+                       maxres, trow_n, rrow_n, x1, d1, alpha1)
+                if record_fvals:
+                    out += (record_f(k, f_plain(f_rec), frow_c),)
+                return out
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                     x0, g0, tau0, fwin, fwin_lo,
@@ -322,8 +376,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     jnp.zeros((1, 128), jnp.float32),
                     jnp.zeros((1, 128), jnp.float32),
                     x0, d0, jnp.asarray(1.0, jnp.float32))
+            if record_fvals:
+                init += (jnp.zeros((1, 128), jnp.float32),)
             (k, stop, y_f, _g, _tau, _fw, _fwlo, _mr, _tr, _rr,
-             xa_f, _d, _a) = jax.lax.while_loop(cond, body, init)
+             xa_f, _d, _a) = jax.lax.while_loop(cond, body, init)[:13]
 
             # a converged stop exits at the prox iterate; max-iters
             # exhaustion returns the extrapolated point (oracle break
@@ -334,6 +390,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             return
 
         def body(c):
+            if record_fvals:
+                *c, frow_c = c
+            else:
+                frow_c = None
             (k, _stop, x_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
              trow_c, rrow_c) = c
 
@@ -374,16 +434,21 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             bad = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
             tau_n = jnp.where(bad, tau * 1.5, tau_n)
 
-            return (k + 1, stop, x1, g1, tau_n, fwin_n, fwlo_n, maxres,
-                    trow_n, rrow_n)
+            out = (k + 1, stop, x1, g1, tau_n, fwin_n, fwlo_n, maxres,
+                   trow_n, rrow_n)
+            if record_fvals:
+                out += (record_f(k, f_plain(f1), frow_c),)
+            return out
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                 x0, g0, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
                 jnp.zeros((1, 128), jnp.float32),
                 jnp.zeros((1, 128), jnp.float32))
+        if record_fvals:
+            init += (jnp.zeros((1, 128), jnp.float32),)
         (k, stop, x_f, _gf, _tauf, _fw, _fwlo, _mr, _tr,
-         _rr) = jax.lax.while_loop(cond, body, init)
+         _rr) = jax.lax.while_loop(cond, body, init)[:10]
 
         x_ref[:] = x_f
         k_ref[0, 0] = k
@@ -396,12 +461,14 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     jax.jit,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "engine", "prox",
-                     "hp", "accelerate", "restart", "restart_dd", "loss"))
+                     "hp", "accelerate", "restart", "restart_dd", "loss",
+                     "stop_rule", "record_fvals"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                      interpret=False, engine="vpu", prox="l1",
                      hp=False, accelerate=False, restart=True,
-                     restart_dd=False, loss="lstsq"):
+                     restart_dd=False, loss="lstsq",
+                     stop_rule="hybrid_residual", record_fvals=False):
     """Whole-solve kernel for  min f(Ax) + g(x)  with f selected by
     ``loss``: "lstsq" (½‖·−b‖²), "logistic" (Σlog(1+exp(·))−bᵀ·, labels
     b ∈ {0,1}) or "squared_hinge" (½Σmax(0,1−b⊙·)², labels b ∈ {±1});
@@ -419,21 +486,30 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     ``precision="auto"`` path; ``restart_dd=True`` additionally mirrors
     its dd restart dot.
 
+    ``stop_rule`` selects among the XLA solver's five C4 rules
+    (default "hybrid_residual" — oracle-identical formulas);
+    ``record_fvals=True`` additionally records the per-iteration
+    f-value (the XLA recorder's f_record semantics: the accepted
+    trial's f in adaptive mode, f at the next search point under
+    FISTA) and appends it to the return tuple.
+
     Returns (x, taus[max_iters], residuals[max_iters], iteration_count,
-    converged).
+    converged) — plus fvals[max_iters] when ``record_fvals``.
     """
+    check_stop_rule(stop_rule)
     m, n = A.shape
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, engine, prox, hp,
-                        accelerate, restart, restart_dd, loss)
+                        accelerate, restart, restart_dd, loss,
+                        stop_rule, record_fvals)
     # τ₀ and μ ride the SMEM scalar vector: μ is a traced leaf (one
     # executable per option set serves every penalty weight; vmap over
     # it = in-kernel regularization path).  Shape (1,2) — see the
     # kernel comment on Mosaic's batched-SMEM block rule.
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    x, taus, res, k, conv = pl.pallas_call(
+    x, taus, res, fv, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (1,n)
@@ -445,11 +521,13 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x (1,n)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # taus rows
             pl.BlockSpec(memory_space=pltpu.VMEM),      # res rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals rows
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k (1,1)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # conv (1,1)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -462,5 +540,8 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         ),
         interpret=interpret,
     )(x0.reshape(1, n), b.reshape(1, m), ts, A)
-    return (x.reshape(n), taus.reshape(kpad)[:max_iters],
-            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+    out = (x.reshape(n), taus.reshape(kpad)[:max_iters],
+           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+    if record_fvals:
+        out += (fv.reshape(kpad)[:max_iters],)
+    return out

@@ -57,9 +57,12 @@ def supports_planar_microsolver(m: int, n: int) -> bool:
 
 def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate, restart,
-                 restart_dd, engine):
+                 restart_dd, engine, stop_rule="hybrid_residual",
+                 record_fvals=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows
+    from .microsolver import stop_from_rule
+    need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
 
     # engine semantics shared with kernels/microsolver.py: "vpu"
     # default (1.43x the MXU kernel live, 2026-08-19), "mxu" = HIGHEST
@@ -82,7 +85,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     nchunks = m // rc
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
-               x_ref, taus_ref, res_ref, k_ref, conv_ref,
+               x_ref, taus_ref, res_ref, fv_ref, k_ref, conv_ref,
                dscr_r, dscr_i, yscr_r, yscr_i):
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
@@ -94,6 +97,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -104,6 +108,19 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             taus_ref[pl.ds(row, 1), :] = trow_n
             res_ref[pl.ds(row, 1), :] = rrow_n
             return trow_n, rrow_n
+
+        def record_f(k, fv, frow_c):
+            """Optional f-value row (C5 parity — see
+            kernels/microsolver.py record_f)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            frow_n = jnp.where(lane128 == lane, fv, frow_c)
+            fv_ref[pl.ds(row, 1), :] = frow_n
+            return frow_n
+
+        def f_plain(f):
+            return prec.dd_to_float(f) if hp else f
 
         def dd_dot2(ur, ui, vr, vi):
             return prec.dd_add(dd_dot_rows(ur, vr), dd_dot_rows(ui, vi))
@@ -236,18 +253,25 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             nd2 = jnp.sum(dxr * dxr) + jnp.sum(dxi * dxi)
             res = jnp.sqrt(nd2) / tau
             maxres = jnp.maximum(maxres_c, res)
-            smr = x1r - zr
-            smi = x1i - zi
-            ng2 = jnp.sum(gr_c * gr_c) + jnp.sum(gi_c * gi_c)
-            nsm2 = jnp.sum(smr * smr) + jnp.sum(smi * smi)
-            normalizer = jnp.maximum(jnp.sqrt(ng2),
-                                     jnp.sqrt(nsm2) / tau) + 1e-8
-            nres = res / normalizer
-            stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+            if need_nres:
+                smr = x1r - zr
+                smi = x1i - zi
+                ng2 = jnp.sum(gr_c * gr_c) + jnp.sum(gi_c * gi_c)
+                nsm2 = jnp.sum(smr * smr) + jnp.sum(smi * smi)
+                normalizer = jnp.maximum(jnp.sqrt(ng2),
+                                         jnp.sqrt(nsm2) / tau) + 1e-8
+                nres = res / normalizer
+            else:
+                nres = None
+            stop = stop_from_rule(stop_rule, res, nres, maxres, tol)
             return nd2, res, maxres, stop
 
         if accelerate:
             def body(cy):
+                if record_fvals:
+                    *cy, frow_c = cy
+                else:
+                    frow_c = None
                 (k, _s, yr, yi, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
                  maxres_c, trow_c, rrow_c, xar, xai, dar, dai,
                  alpha_c) = cy
@@ -302,9 +326,12 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 fwin_n = jnp.where(lane_w == (k + 1) % window,
                                    f_hi(f_rec), fwin_c)
 
-                return (k + 1, stop, yr_n, yi_n, gr_n, gi_n, tau,
-                        fwin_n, fwlo_n, maxres, trow_n, rrow_n,
-                        x1r, x1i, d1r, d1i, alpha1)
+                out = (k + 1, stop, yr_n, yi_n, gr_n, gi_n, tau,
+                       fwin_n, fwlo_n, maxres, trow_n, rrow_n,
+                       x1r, x1i, d1r, d1i, alpha1)
+                if record_fvals:
+                    out += (record_f(k, f_plain(f_rec), frow_c),)
+                return out
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                     x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
@@ -312,9 +339,11 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     jnp.zeros((1, 128), jnp.float32),
                     jnp.zeros((1, 128), jnp.float32),
                     x0r, x0i, d0r, d0i, jnp.asarray(1.0, jnp.float32))
+            if record_fvals:
+                init += (jnp.zeros((1, 128), jnp.float32),)
             (k, stop, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
              _rr, xar_f, xai_f, _dr, _di,
-             _a) = jax.lax.while_loop(cond, body, init)
+             _a) = jax.lax.while_loop(cond, body, init)[:17]
             xr_out = jnp.where(stop, xar_f, yr_f)
             xi_out = jnp.where(stop, xai_f, yi_f)
             x_ref[0:1] = xr_out
@@ -324,6 +353,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             return
 
         def body(cy):
+            if record_fvals:
+                *cy, frow_c = cy
+            else:
+                frow_c = None
             (k, _s, xr_c, xi_c, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
              maxres_c, trow_c, rrow_c) = cy
 
@@ -367,16 +400,21 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             bad = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
             tau_n = jnp.where(bad, tau * 1.5, tau_n)
 
-            return (k + 1, stop, x1r, x1i, g1r, g1i, tau_n, fwin_n,
-                    fwlo_n, maxres, trow_n, rrow_n)
+            out = (k + 1, stop, x1r, x1i, g1r, g1i, tau_n, fwin_n,
+                   fwlo_n, maxres, trow_n, rrow_n)
+            if record_fvals:
+                out += (record_f(k, f_plain(f1), frow_c),)
+            return out
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                 x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
                 jnp.zeros((1, 128), jnp.float32),
                 jnp.zeros((1, 128), jnp.float32))
+        if record_fvals:
+            init += (jnp.zeros((1, 128), jnp.float32),)
         (k, stop, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
-         _rr) = jax.lax.while_loop(cond, body, init)
+         _rr) = jax.lax.while_loop(cond, body, init)[:12]
         x_ref[0:1] = xr_f
         x_ref[1:2] = xi_f
         k_ref[0, 0] = k
@@ -389,27 +427,33 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     jax.jit,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
-                     "restart", "restart_dd", "engine"))
+                     "restart", "restart_dd", "engine", "stop_rule",
+                     "record_fvals"))
 def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                window=10, tol=1e-3, shrink_factor=0.2,
                                max_backtracks=20, interpret=False,
                                hp=False, accelerate=False, restart=True,
-                               restart_dd=False, engine="vpu"):
+                               restart_dd=False, engine="vpu",
+                               stop_rule="hybrid_residual",
+                               record_fvals=False):
     """Whole-solve kernel for planar PhaseMax
     ``min ½Σ max(|Ax|−b,0)² − ⟨c,x⟩`` (adaptive BB or FISTA mode).
 
     Ar/Ai: (m,n) real channel matrices; b: (m,) magnitudes; c: (n,2)
     planar anchor; x0: (n,2) planar start.  Returns (x: (n,2), taus,
-    residuals, iteration_count, converged).  Same option semantics as
-    the dense microsolver (kernels/microsolver.py).
+    residuals, iteration_count, converged) — plus fvals when
+    ``record_fvals``.  Same option semantics as the dense microsolver
+    (kernels/microsolver.py), including the five C4 ``stop_rule``s.
     """
+    from .microsolver import check_stop_rule
+    check_stop_rule(stop_rule)
     m, n = Ar.shape
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
-                        restart_dd, engine)
+                        restart_dd, engine, stop_rule, record_fvals)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
-    x, taus, res, k, conv = pl.pallas_call(
+    x, taus, res, fv, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (2,n)
@@ -423,11 +467,13 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x (2,n)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # taus
             pl.BlockSpec(memory_space=pltpu.VMEM),      # res
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k
             pl.BlockSpec(memory_space=pltpu.SMEM),      # conv
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -447,5 +493,8 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
         ),
         interpret=interpret,
     )(x0.T.reshape(2, n), b.reshape(1, m), c.T.reshape(2, n), ts, Ar, Ai)
-    return (x.T, taus.reshape(kpad)[:max_iters],
-            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+    out = (x.T, taus.reshape(kpad)[:max_iters],
+           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+    if record_fvals:
+        out += (fv.reshape(kpad)[:max_iters],)
+    return out

@@ -33,12 +33,16 @@ _WPAD = 128
 
 def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
-                 restart_dd=False):
+                 restart_dd=False, stop_rule="hybrid_residual",
+                 record_fvals=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows, dd_reduce
+    from .microsolver import stop_from_rule
+    need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
 
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
-               xv_ref, xh_ref, taus_ref, res_ref, k_ref, conv_ref):
+               xv_ref, xh_ref, taus_ref, res_ref, fv_ref, k_ref,
+               conv_ref):
         b = b_ref[:]
         # the TV weight μ is a RUNTIME SMEM scalar (ts_ref[0,1]) — one
         # executable per option set serves every μ; vmap over it solves
@@ -54,6 +58,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -64,6 +69,19 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             taus_ref[pl.ds(row, 1), :] = trow_n
             res_ref[pl.ds(row, 1), :] = rrow_n
             return trow_n, rrow_n
+
+        def record_f(k, fv, frow_c):
+            """Optional f-value row (C5 parity — see
+            kernels/microsolver.py record_f)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            frow_n = jnp.where(lane128 == lane, fv, frow_c)
+            fv_ref[pl.ds(row, 1), :] = frow_n
+            return frow_n
+
+        def f_plain(f):
+            return prec.dd_to_float(f) if hp else f
         ridx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         mrow = (ridx < h - 1).astype(jnp.float32)
@@ -182,22 +200,29 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
 
         def resid_stop(tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c,
                        maxres_c):
-            """Gradient-map residual, hybrid stopping (oracle C4)."""
+            """Gradient-map residual + selectable stopping (oracle C4)."""
             nd2 = jnp.sum(dv * dv) + jnp.sum(dh * dh)
             res = jnp.sqrt(nd2) / tau
             maxres = jnp.maximum(maxres_c, res)
-            smv = xv - zv
-            smh = xh - zh
-            ng2 = jnp.sum(gv_c * gv_c) + jnp.sum(gh_c * gh_c)
-            nsm2 = jnp.sum(smv * smv) + jnp.sum(smh * smh)
-            normalizer = jnp.maximum(jnp.sqrt(ng2),
-                                     jnp.sqrt(nsm2) / tau) + 1e-8
-            nres = res / normalizer
-            stop = ((res / (maxres + 1e-8) < tol) | (nres < tol))
+            if need_nres:
+                smv = xv - zv
+                smh = xh - zh
+                ng2 = jnp.sum(gv_c * gv_c) + jnp.sum(gh_c * gh_c)
+                nsm2 = jnp.sum(smv * smv) + jnp.sum(smh * smh)
+                normalizer = jnp.maximum(jnp.sqrt(ng2),
+                                         jnp.sqrt(nsm2) / tau) + 1e-8
+                nres = res / normalizer
+            else:
+                nres = None
+            stop = stop_from_rule(stop_rule, res, nres, maxres, tol)
             return nd2, res, maxres, stop
 
         if accelerate:
             def body(c):
+                if record_fvals:
+                    *c, frow_c = c
+                else:
+                    frow_c = None
                 (k, _stop, yv, yh, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
                  maxres_c, trow_c, rrow_c, xav, xah, dacc, alpha_c) = c
 
@@ -258,9 +283,12 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 fwin_n = jnp.where(lane_w == (k + 1) % window,
                                    f_hi(f_rec), fwin_c)
 
-                return (k + 1, stop, yv_n, yh_n, gvn, ghn, tau, fwin_n,
-                        fwlo_n, maxres, trow_n, rrow_n, xv, xh, d1,
-                        alpha1)
+                out = (k + 1, stop, yv_n, yh_n, gvn, ghn, tau, fwin_n,
+                       fwlo_n, maxres, trow_n, rrow_n, xv, xh, d1,
+                       alpha1)
+                if record_fvals:
+                    out += (record_f(k, f_plain(f_rec), frow_c),)
+                return out
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                     pv0, ph0, gv0, gh0, tau0, fwin, fwin_lo,
@@ -268,9 +296,11 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                     jnp.zeros((1, 128), jnp.float32),
                     jnp.zeros((1, 128), jnp.float32),
                     pv0, ph0, d0, jnp.asarray(1.0, jnp.float32))
+            if record_fvals:
+                init += (jnp.zeros((1, 128), jnp.float32),)
             (k, stop, yv_f, yh_f, _gv, _gh, _tau, _fw, _fwlo, _mr,
              _tr, _rr, xav_f, xah_f, _d, _a) = jax.lax.while_loop(
-                cond, body, init)
+                cond, body, init)[:16]
 
             # a converged stop exits at the prox iterate; max-iters
             # exhaustion returns the extrapolated point (oracle break
@@ -282,6 +312,10 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             return
 
         def body(c):
+            if record_fvals:
+                *c, frow_c = c
+            else:
+                frow_c = None
             (k, _stop, pv_c, ph_c, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
              maxres_c, trow_c, rrow_c) = c
 
@@ -325,16 +359,21 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             deg = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
             tau_n = jnp.where(deg, tau * 1.5, tau_n)
 
-            return (k + 1, stop, xv, xh, gv1, gh1, tau_n, fwin_n,
-                    fwlo_n, maxres, trow_n, rrow_n)
+            out = (k + 1, stop, xv, xh, gv1, gh1, tau_n, fwin_n,
+                   fwlo_n, maxres, trow_n, rrow_n)
+            if record_fvals:
+                out += (record_f(k, f_plain(f1), frow_c),)
+            return out
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
                 pv0, ph0, gv0, gh0, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
                 jnp.zeros((1, 128), jnp.float32),
                 jnp.zeros((1, 128), jnp.float32))
+        if record_fvals:
+            init += (jnp.zeros((1, 128), jnp.float32),)
         (k, stop, xv_f, xh_f, _gv, _gh, _tau, _fw, _fwlo, _mr, _tr,
-         _rr) = jax.lax.while_loop(cond, body, init)
+         _rr) = jax.lax.while_loop(cond, body, init)[:12]
 
         xv_ref[:] = xv_f
         xh_ref[:] = xh_f
@@ -348,15 +387,19 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
     jax.jit,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
-                     "restart", "restart_dd"))
+                     "restart", "restart_dd", "stop_rule",
+                     "record_fvals"))
 def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
                   shrink_factor=0.2, max_backtracks=20, interpret=False,
                   hp=True, accelerate=False, restart=True,
-                  restart_dd=False):
+                  restart_dd=False, stop_rule="hybrid_residual",
+                  record_fvals=False):
     """Whole-solve kernel for the TV dual (adaptive BB or FISTA mode).
 
     b: (H,W) noisy image; p0: (2,H,W) dual init.  Returns
-    (p: (2,H,W), taus, residuals, iteration_count, converged).
+    (p: (2,H,W), taus, residuals, iteration_count, converged) — plus
+    fvals when ``record_fvals``.  ``stop_rule`` selects among the XLA
+    solver's five C4 rules (kernels/microsolver.py STOP_RULES).
 
     ``accelerate=True`` runs FISTA with O'Donoghue–Candès gradient
     restart instead of the BB stepsize — fewer iterations on the TV
@@ -384,14 +427,16 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     dispatch, unlike the XLA path; non-pow2 dims are zero-padded inside
     the reduction trees (exact).
     """
+    from .microsolver import check_stop_rule
+    check_stop_rule(stop_rule)
     h, w = b.shape
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
-                        restart_dd)
+                        restart_dd, stop_rule, record_fvals)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    xv, xh, taus, res, k, conv = pl.pallas_call(
+    xv, xh, taus, res, fv, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b
@@ -404,12 +449,14 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -420,5 +467,8 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
         ),
         interpret=interpret,
     )(b, ts, p0[0], p0[1])
-    return (jnp.stack([xv, xh]), taus.reshape(kpad)[:max_iters],
-            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+    out = (jnp.stack([xv, xh]), taus.reshape(kpad)[:max_iters],
+           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+    if record_fvals:
+        out += (fv.reshape(kpad)[:max_iters],)
+    return out

@@ -43,10 +43,11 @@ class MicroResult:
     """Result of a whole-solve kernel run.
 
     Deliberately smaller than :class:`~fasta_tpu.solver.FastaResult`:
-    the kernels record exactly (stepsizes, residuals, iteration count,
-    convergence flag) — per-iteration f-values/objectives/backtrack
-    counts stay on-core and are not exported.  Use the XLA solver when
-    full diagnostics are needed.
+    the kernels record (stepsizes, residuals, iteration count,
+    convergence flag), plus per-iteration f-values when the solve ran
+    with ``record_fvals=True`` — objectives/backtrack counts stay
+    on-core and are not exported.  Use the XLA solver when full
+    diagnostics are needed.
 
     ``solution`` stays a DEVICE array (``np.asarray(r.solution)`` to
     fetch): pulling a 512×512 dual field to the host costs ~100 ms over
@@ -62,6 +63,9 @@ class MicroResult:
     residuals: np.ndarray
     taus: np.ndarray
     solve_time: float       # wall clock incl. compile on a cold cache
+    # per-iteration f-values (XLA recorder's f_record semantics) when
+    # the solve ran with record_fvals=True; None otherwise
+    fvals: Optional[np.ndarray] = None
 
 
 def _dispatch(problem: Problem):
@@ -153,6 +157,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                hp: Optional[bool] = None, engine: Optional[str] = None,
                accelerate: bool = False, restart: bool = True,
                restart_dd: bool = False,
+               stop_rule: str = "hybrid_residual",
+               record_fvals: bool = False,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
@@ -179,6 +185,13 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     without it raises — this API never silently drops a request.
     ``interpret=None`` auto-enables the Pallas interpreter off-TPU so
     the same call works in CPU tests.
+
+    ``stop_rule`` selects among the XLA solver's five C4 rules
+    ("residual", "normalized_residual", "ratio_residual",
+    "hybrid_residual" — the default — and "iterations"), with the
+    solver's exact formulas.  ``record_fvals=True`` additionally
+    records the per-iteration f-value (the recorder's f_record
+    semantics) into ``MicroResult.fvals``.
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
@@ -209,8 +222,9 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         tol=tol, shrink_factor=shrink_factor,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
+        stop_rule=stop_rule, record_fvals=record_fvals,
         interpret=interpret)
-    sol, taus, res, k, conv = call(b, x0, mu)
+    sol, taus, res, k, conv, fv = call(b, x0, mu)
 
     k = int(k)
     return MicroResult(
@@ -220,6 +234,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         residuals=np.asarray(res).reshape(-1)[:k],
         taus=np.asarray(taus).reshape(-1)[:k],
         solve_time=time.perf_counter() - t0,
+        fvals=(np.asarray(fv).reshape(-1)[:k] if fv is not None
+               else None),
     )
 
 
@@ -238,6 +254,7 @@ class MicroBatchResult:
     residuals: list                      # B arrays of shape (kᵢ,)
     taus: list
     solve_time: float
+    fvals: Optional[list] = None         # B arrays when record_fvals
 
 
 def microsolve_batch(problem: Problem, bs, x0s=None,
@@ -249,6 +266,8 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
                      engine: Optional[str] = None,
                      accelerate: bool = False, restart: bool = True,
                      restart_dd: bool = False,
+                     stop_rule: str = "hybrid_residual",
+                     record_fvals: bool = False,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve a BATCH of instances sharing ``problem``'s operator in ONE
     kernel launch — the serving path for many-measurement workloads.
@@ -291,6 +310,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
         tol=tol, shrink_factor=shrink_factor,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
+        stop_rule=stop_rule, record_fvals=record_fvals,
         interpret=interpret)
 
     bs = jnp.asarray(bs, jnp.float32)
@@ -306,15 +326,16 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
             raise ValueError(f"x0s shape {x0s.shape} != "
                              f"{(B,) + x01.shape}")
 
-    sols, taus, res, ks, convs = jax.vmap(
+    sols, taus, res, ks, convs, fvs = jax.vmap(
         call, in_axes=(0, 0, None))(bs, x0s, mu1)
-    return _pack_batch(sols, taus, res, ks, convs, B, t0)
+    return _pack_batch(sols, taus, res, ks, convs, fvs, B, t0)
 
 
-def _pack_batch(sols, taus, res, ks, convs, B, t0):
+def _pack_batch(sols, taus, res, ks, convs, fvs, B, t0):
     ks_h = np.asarray(ks).reshape(B)
     taus_h = np.asarray(taus).reshape(B, -1)
     res_h = np.asarray(res).reshape(B, -1)
+    fvs_h = None if fvs is None else np.asarray(fvs).reshape(B, -1)
     return MicroBatchResult(
         solutions=sols,
         iteration_counts=ks_h,
@@ -322,6 +343,8 @@ def _pack_batch(sols, taus, res, ks, convs, B, t0):
         residuals=[res_h[i, :ks_h[i]] for i in range(B)],
         taus=[taus_h[i, :ks_h[i]] for i in range(B)],
         solve_time=time.perf_counter() - t0,
+        fvals=(None if fvs_h is None
+               else [fvs_h[i, :ks_h[i]] for i in range(B)]),
     )
 
 
@@ -334,6 +357,8 @@ def microsolve_sweep(problem: Problem, mus,
                      engine: Optional[str] = None,
                      accelerate: bool = False, restart: bool = True,
                      restart_dd: bool = False,
+                     stop_rule: str = "hybrid_residual",
+                     record_fvals: bool = False,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve the REGULARIZATION PATH in one kernel launch: one full
     solve per penalty weight in ``mus`` (dense problems: μ of the L1
@@ -386,6 +411,7 @@ def microsolve_sweep(problem: Problem, mus,
         tol=tol, shrink_factor=shrink_factor,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
+        stop_rule=stop_rule, record_fvals=record_fvals,
         interpret=interpret)
 
     mus = jnp.asarray(mus, jnp.float32)
@@ -393,16 +419,18 @@ def microsolve_sweep(problem: Problem, mus,
         raise ValueError(f"mus must be a 1-D vector of penalty weights, "
                          f"got ndim={mus.ndim}")
     B = mus.shape[0]
-    sols, taus, res, ks, convs = jax.vmap(
+    sols, taus, res, ks, convs, fvs = jax.vmap(
         call, in_axes=(None, None, 0))(b1, x01, mus)
-    return _pack_batch(sols, taus, res, ks, convs, B, t0)
+    return _pack_batch(sols, taus, res, ks, convs, fvs, B, t0)
 
 
 def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                  shrink_factor, max_backtracks, hp, engine, accelerate,
-                 restart, restart_dd, interpret):
+                 restart, restart_dd, interpret,
+                 stop_rule="hybrid_residual", record_fvals=False):
     """Build ``(call, b, x0, mu)``: a ``call(b, x0, mu) -> (solution,
-    taus, residuals, k, converged)`` closure over the problem's STATIC
+    taus, residuals, k, converged, fvals-or-None)`` closure over the
+    problem's STATIC
     data (operator matrices, anchors, kernel options) plus the
     instance's batchable leaves (measurements/labels b, start x0, and —
     dense/TV — the penalty weight μ, a runtime SMEM scalar in the
@@ -418,12 +446,14 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
         c = jnp.asarray(problem.gterm.c, jnp.float32)
 
         def call(b, x0, _mu):
-            return microsolve_planar_phasemax(
+            out = microsolve_planar_phasemax(
                 Ar, Ai, b, c, x0, tau0, max_iters=max_iters,
                 window=window, tol=tol, shrink_factor=shrink_factor,
                 max_backtracks=max_backtracks, interpret=interpret,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
-                restart_dd=restart_dd, engine=engine or "vpu")
+                restart_dd=restart_dd, engine=engine or "vpu",
+                stop_rule=stop_rule, record_fvals=record_fvals)
+            return out if record_fvals else out + (None,)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         mu = 0.0                    # PhaseMax has no penalty weight
@@ -438,12 +468,14 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
         mu = detail
 
         def call(b, x0, mu_):
-            return microsolve_tv(
+            out = microsolve_tv(
                 b, x0, tau0, mu_, max_iters=max_iters, window=window,
                 tol=tol, shrink_factor=shrink_factor,
                 max_backtracks=max_backtracks, interpret=interpret,
                 hp=hp_tv, accelerate=accelerate, restart=restart,
-                restart_dd=restart_dd)
+                restart_dd=restart_dd, stop_rule=stop_rule,
+                record_fvals=record_fvals)
+            return out if record_fvals else out + (None,)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
     else:
@@ -453,14 +485,17 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
         A = jnp.asarray(problem.op.A, jnp.float32)
 
         def call(b, x0, mu_):
-            x, taus, res, k, conv = microsolve_lasso(
+            out = microsolve_lasso(
                 A, b, x0, tau0, mu_, max_iters=max_iters, window=window,
                 tol=tol, shrink_factor=shrink_factor,
                 max_backtracks=max_backtracks, interpret=interpret,
                 engine=engine or "vpu", prox=prox, loss=loss,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
-                restart_dd=restart_dd)
-            return x.reshape(-1), taus, res, k, conv
+                restart_dd=restart_dd, stop_rule=stop_rule,
+                record_fvals=record_fvals)
+            x, taus, res, k, conv = out[:5]
+            fv = out[5] if record_fvals else None
+            return x.reshape(-1), taus, res, k, conv, fv
 
         data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
                 else problem.fterm.b)
