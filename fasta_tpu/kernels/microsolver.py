@@ -37,7 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["microsolve_lasso", "supports_microsolver"]
+__all__ = ["microsolve_lasso", "microsolve_lasso_path",
+           "supports_microsolver"]
 
 _WPAD = 128
 
@@ -89,12 +90,20 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, engine="vpu", prox="l1",
                  hp=False, accelerate=False, restart=True,
                  restart_dd=False, loss="lstsq",
-                 stop_rule="hybrid_residual", record_fvals=False):
+                 stop_rule="hybrid_residual", record_fvals=False,
+                 warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
     # the normalized residual is only computed when a rule reads it
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
+    # warm_sweep: the kernel runs as an EXPLICIT sequential grid over
+    # path points (microsolve_lasso_path) — step i>0 starts from step
+    # i-1's solution and last accepted stepsize, carried across grid
+    # steps in persistent VMEM/SMEM scratch (TPU grid steps execute
+    # back-to-back on one core).  This is solve_path's continuation
+    # recipe (warm x AND warm tau, same degenerate-tau guard) inside
+    # one launch.
 
     # "vpu" = broadcast-reduce on the vector units (exact f32; the
     # default — a batch-1 GEMV keeps 1/128 of the MXU's rows busy, and
@@ -106,7 +115,9 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     mxu_prec = jax.lax.Precision.HIGHEST
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
-               x_ref, taus_ref, res_ref, fv_ref, k_ref, conv_ref):
+               x_ref, taus_ref, res_ref, fv_ref, k_ref, conv_ref, *scr):
+        if warm_sweep:
+            xprev_scr, tprev_scr = scr
         A = A_ref[:]                       # (m, n) pinned in VMEM
         b = b_ref[:]                       # (1, m)
         # μ is a RUNTIME SMEM scalar (ts_ref[0,1]), not a compile-time
@@ -117,8 +128,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         # (B,2) SMEM operand gets a (1,2) block whose second-to-last
         # dim violates Mosaic's block rule (caught on hardware,
         # 2026-08-19 — passes interpret); (B,1,2) with a full (1,2)
-        # trailing block lowers.
-        mu = ts_ref[0, 1]
+        # trailing block lowers.  Under warm_sweep the same (1,2)
+        # layout arrives as a per-grid-step block of the (B,1,2) path
+        # table.
+        mu = ts_ref[0, 0, 1] if warm_sweep else ts_ref[0, 1]
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
         # Per-iteration recording is O(1): a (1,128) accumulator row in
         # the carry, flushed to the (kpad//128, 128) output ref at
@@ -230,8 +243,27 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         else:                              # pragma: no cover
             raise ValueError(f"unknown prox {prox!r}")
 
-        x0 = x0_ref[:]                     # (1, n)
-        tau0 = ts_ref[0, 0]
+        if warm_sweep:
+            # step i>0 continues from step i-1's solution (the scratch
+            # reads are garbage at step 0 and fully masked by the
+            # selects).  tau continuation is mode-dependent (the
+            # solve_path rule, solver.py): BB/adaptive re-estimates tau
+            # from the first secant so the carried last-accepted tau is
+            # warm and safe; FISTA's tau is monotone non-increasing, so
+            # an endgame-shrunk carry compounds across path points
+            # (measured 15x the cold iteration count) — accelerate
+            # warm-starts x ONLY and resets tau to the caller's tau0.
+            i = pl.program_id(0)
+            x0 = jnp.where(i > 0, xprev_scr[:], x0_ref[:])
+            if accelerate:
+                tau0 = ts_ref[0, 0, 0]
+            else:
+                tprev = tprev_scr[0, 0]
+                tau0 = jnp.where((i > 0) & (tprev > 0.0), tprev,
+                                 ts_ref[0, 0, 0])
+        else:
+            x0 = x0_ref[:]                 # (1, n)
+            tau0 = ts_ref[0, 0]
         d0 = fwd(x0)
         f0 = fof(d0)
         g0 = adj(lgrad(d0))
@@ -289,7 +321,14 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             out = jax.lax.while_loop(
                 bt_cond, bt_body,
                 (tau,) + first + (jnp.zeros((), jnp.int32),))
-            return out[:-1]               # drop the trial counter
+            # the trial counter stays in the return so warm_sweep can
+            # tell a genuinely ACCEPTED stepsize from a forced one
+            # (count exhausted): at exact convergence dx == 0 and no
+            # decrease is possible, so the final iteration shrinks tau
+            # all the way to tau0*shrink^max_backtracks — carrying THAT
+            # into the next path point strands a FISTA solve (tau is
+            # monotone non-increasing there) at a dead stepsize
+            return out
 
         def resid_stop(tau, x1, x1hat, dx, g_c, maxres_c):
             """Gradient-map residual + selectable stopping (oracle C4)."""
@@ -309,6 +348,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
         if accelerate:
             def body(c):
+                if warm_sweep:
+                    *c, _tacc_c = c
                 if record_fvals:
                     *c, frow_c = c
                 else:
@@ -328,7 +369,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 tau = tau_c
                 first = fb(tau)
                 M = window_max(fwin_c, fwlo_c)
-                tau, x1hat, x1, dx, f1, d1 = backtrack(
+                tau, x1hat, x1, dx, f1, d1, bt = backtrack(
                     fb, first, tau, g_c, M)
 
                 _nd2, res, maxres, stop = resid_stop(
@@ -368,6 +409,13 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                        maxres, trow_n, rrow_n, x1, d1, alpha1)
                 if record_fvals:
                     out += (record_f(k, f_plain(f_rec), frow_c),)
+                if warm_sweep:
+                    # last genuinely ACCEPTED stepsize — a backtrack-
+                    # exhausted tau (typical of the final converged
+                    # iteration, where dx == 0 forbids decrease) keeps
+                    # the previous carry instead
+                    out += (jnp.where(bt < max_backtracks, tau,
+                                      _tacc_c),)
                 return out
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
@@ -378,18 +426,31 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     x0, d0, jnp.asarray(1.0, jnp.float32))
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
+            if warm_sweep:
+                init += (jnp.zeros((), jnp.float32),)
+            fin = jax.lax.while_loop(cond, body, init)
             (k, stop, y_f, _g, _tau, _fw, _fwlo, _mr, _tr, _rr,
-             xa_f, _d, _a) = jax.lax.while_loop(cond, body, init)[:13]
+             xa_f, _d, _a) = fin[:13]
 
             # a converged stop exits at the prox iterate; max-iters
             # exhaustion returns the extrapolated point (oracle break
             # semantics, solver.py solution select)
-            x_ref[:] = jnp.where(stop, xa_f, y_f)
+            sol = jnp.where(stop, xa_f, y_f)
+            x_ref[:] = sol
             k_ref[0, 0] = k
             conv_ref[0, 0] = stop.astype(jnp.int32)
+            if warm_sweep:
+                tau_acc = fin[-1]
+                xprev_scr[:] = sol
+                # solve_path's degenerate guard: keep the carried tau
+                # when the solve died at 0 iterations / dead stepsize
+                tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
+                                            tau_acc, tau0)
             return
 
         def body(c):
+            if warm_sweep:
+                *c, _tacc_c = c
             if record_fvals:
                 *c, frow_c = c
             else:
@@ -407,7 +468,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             tau = tau_c
             first = fb(tau)
             M = window_max(fwin_c, fwlo_c)
-            tau, x1hat, x1, dx, f1, g1 = backtrack(
+            tau, x1hat, x1, dx, f1, g1, bt = backtrack(
                 fb, first, tau, g_c, M)
 
             nd2, res, maxres, stop = resid_stop(
@@ -438,6 +499,9 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                    trow_n, rrow_n)
             if record_fvals:
                 out += (record_f(k, f_plain(f1), frow_c),)
+            if warm_sweep:
+                # genuinely accepted only — see the accelerate body
+                out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
             return out
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
@@ -447,12 +511,20 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 jnp.zeros((1, 128), jnp.float32))
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
+        if warm_sweep:
+            init += (jnp.zeros((), jnp.float32),)
+        fin = jax.lax.while_loop(cond, body, init)
         (k, stop, x_f, _gf, _tauf, _fw, _fwlo, _mr, _tr,
-         _rr) = jax.lax.while_loop(cond, body, init)[:10]
+         _rr) = fin[:10]
 
         x_ref[:] = x_f
         k_ref[0, 0] = k
         conv_ref[0, 0] = stop.astype(jnp.int32)
+        if warm_sweep:
+            tau_acc = fin[-1]
+            xprev_scr[:] = x_f
+            tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
+                                        tau_acc, tau0)
 
     return kernel
 
@@ -544,4 +616,100 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
     if record_fvals:
         out += (fv.reshape(kpad)[:max_iters],)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "window", "tol", "shrink_factor",
+                     "max_backtracks", "interpret", "engine", "prox",
+                     "hp", "accelerate", "restart", "restart_dd", "loss",
+                     "stop_rule", "record_fvals"))
+def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
+                          tol=1e-3, shrink_factor=0.2, max_backtracks=20,
+                          interpret=False, engine="vpu", prox="l1",
+                          hp=False, accelerate=False, restart=True,
+                          restart_dd=False, loss="lstsq",
+                          stop_rule="hybrid_residual",
+                          record_fvals=False):
+    """WARM-STARTED regularization path in ONE kernel launch: an
+    explicit sequential grid over the B entries of ``mus`` (strongest
+    penalty first, the classic continuation order) where path point i
+    starts from point i-1's solution and last accepted stepsize —
+    solve_path's homotopy recipe (solver.py, incl. its degenerate-tau
+    guard) run entirely on-core, with A pinned in VMEM across ALL path
+    points and iterations.  The carry rides grid-persistent VMEM/SMEM
+    scratch (TPU grid steps execute back-to-back on one core).
+
+    Contrast ``jax.vmap(microsolve_lasso)`` (microsolve_sweep): that is
+    the embarrassingly-parallel COLD sweep; this trades independence
+    for fewer total iterations when adjacent path solutions are close.
+    Prefer ``stop_rule="residual"`` — the hybrid rule's max-residual
+    normalization tightens under warm starts (solve_path note).
+
+    Returns (xs: (B,n), taus: (B,max_iters), residuals: (B,max_iters),
+    ks: (B,), converged: (B,)) — plus fvals (B,max_iters) when
+    ``record_fvals``.
+    """
+    check_stop_rule(stop_rule)
+    m, n = A.shape
+    B = mus.shape[0]
+    kpad = ((max_iters + 127) // 128) * 128
+    kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
+                        max_backtracks, kpad, engine, prox, hp,
+                        accelerate, restart, restart_dd, loss,
+                        stop_rule, record_fvals, warm_sweep=True)
+    ts = jnp.stack([jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
+                    jnp.asarray(mus, jnp.float32)],
+                   axis=-1).reshape(B, 1, 2)
+    rows_spec = pl.BlockSpec((kpad // 128, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rows_shape = jax.ShapeDtypeStruct((B * (kpad // 128), 128),
+                                      jnp.float32)
+    x, taus, res, fv, k, conv = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # x0 row
+            pl.BlockSpec((1, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # b row
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),          # (tau0, mu)_i
+            pl.BlockSpec((m, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # A (pinned)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # x_i
+            rows_spec,                                      # taus_i
+            rows_spec,                                      # res_i
+            rows_spec,                                      # fvals_i
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),          # k_i
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),          # conv_i
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n), jnp.float32),
+            rows_shape,
+            rows_shape,
+            rows_shape,
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),    # warm x carry
+            pltpu.SMEM((1, 1), jnp.float32),    # warm tau carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 << 20, 4 * m * n * 4 + (48 << 20)),
+        ),
+        interpret=interpret,
+    )(x0.reshape(1, n), b.reshape(1, m), ts, A)
+    out = (x, taus.reshape(B, kpad)[:, :max_iters],
+           res.reshape(B, kpad)[:, :max_iters], k.reshape(B),
+           conv.reshape(B) > 0)
+    if record_fvals:
+        out += (fv.reshape(B, kpad)[:, :max_iters],)
     return out

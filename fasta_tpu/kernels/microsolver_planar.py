@@ -195,7 +195,11 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
         x0r = x0_ref[0:1]                 # (1, n) channels
         x0i = x0_ref[1:2]
-        tau0 = ts_ref[0]
+        # ts is (1,1), NOT (1,): a vmapped (B,1) SMEM operand gets a
+        # (1,) block that violates Mosaic's block rule (the dense
+        # kernel's (1,2) lesson, 2026-08-19); (B,1,1) with a full (1,1)
+        # trailing block lowers — per-instance tau0 batching needs it.
+        tau0 = ts_ref[0, 0]
         d0r, d0i = fwd(x0r, x0i)
         f0, l0r, l0i = hinge(d0r, d0i)
         g0r, g0i = adj(l0r, l0i)
@@ -452,7 +456,7 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd, engine, stop_rule, record_fvals)
-    ts = jnp.stack([jnp.asarray(tau0, jnp.float32)])
+    ts = jnp.asarray(tau0, jnp.float32).reshape(1, 1)
     x, taus, res, fv, k, conv = pl.pallas_call(
         kern,
         in_specs=[

@@ -805,15 +805,39 @@ def solve_path(op, fterm, gterms, x0, tau0,
         def run(op, fterm, gterms, x0, tau0):
             rdt = jnp.real(jnp.zeros((), jnp.asarray(x0).dtype)).dtype
 
+            # tau continuation is mode-dependent.  Near convergence the
+            # line search shrinks tau (dx → 0 forbids decrease: partial
+            # shrinks on the penultimate iterations, a full
+            # shrink^max_backtracks exhaustion on the final one), so the
+            # trailing recorded taus are endgame artifacts, not cruise
+            # stepsizes.  BB/adaptive re-estimates tau from the first
+            # secant, so carrying the last genuinely ACCEPTED tau is
+            # safe and warm.  Modes where tau is monotone non-increasing
+            # (FISTA, plain FBS with backtracking) can never recover a
+            # too-small carry — shrinkage would compound across path
+            # points (measured: 0.05 → 0.01 → 1.6e-5, 15x the cold
+            # iteration count) — so they warm-start x ONLY and reset tau
+            # to the caller's tau0 (L is penalty-independent).  The
+            # in-kernel warm sweep (kernels/microsolver.py) mirrors both
+            # rules.
+            tau_monotone = opts.accelerate or (opts.backtrack
+                                               and not opts.adaptive)
+
             def step(carry, g):
                 x, tau = carry
                 r = fn(op, fterm, g, x, tau)
-                k = jnp.maximum(r.iteration_count - 1, 0)
-                last_tau = r.taus[k]
-                # degenerate solve (0 iterations / dead stepsize):
-                # keep warm-starting with the carried tau
-                last_tau = jnp.where(last_tau > 0, last_tau, tau)
-                return (r.solution, last_tau.astype(rdt)), r
+                if tau_monotone:
+                    new_tau = tau
+                else:
+                    it = jnp.arange(r.taus.shape[-1])
+                    ok = ((it < r.iteration_count)
+                          & (r.backtracks < opts.max_backtracks)
+                          & (r.taus > 0))
+                    last = jnp.argmax(jnp.where(ok, it, -1))
+                    # degenerate solve (0 accepted iterations / dead
+                    # stepsize): keep warm-starting with the carried tau
+                    new_tau = jnp.where(ok.any(), r.taus[last], tau)
+                return (r.solution, new_tau.astype(rdt)), r
 
             carry0 = (jnp.asarray(x0), jnp.asarray(tau0, rdt))
             _, results = jax.lax.scan(step, carry0, gterms)

@@ -172,3 +172,40 @@ def test_batch_unsupported_structure_raises():
     prob = problems.build("democratic", m=64, n=128, dtype=jnp.float32)
     with pytest.raises(ValueError, match="LinfNorm"):
         microsolve_batch(prob, jnp.zeros((2, 64)), tau0=0.05)
+
+
+def test_batch_per_instance_tau0_bit_identical():
+    """Heterogeneous tau0 batches: a (B,) tau0 vector rides the
+    per-instance SMEM scalars (round-4 VERDICT item 7) and each
+    instance bit-matches its own separately-launched solve."""
+    prob = problems.build("lasso", m=120, n=240, k=10, dtype=jnp.float32)
+    B = 3
+    bs = _stack_perturbed(prob.fterm.b, B)
+    t0s = jnp.asarray([0.02, 0.05, 0.09], jnp.float32)
+    rb = microsolve_batch(prob, bs, tau0=t0s, max_iters=200, tol=1e-6)
+    for i in range(B):
+        pi = prob.with_parts(fterm=type(prob.fterm)(bs[i]))
+        ri = microsolve(pi, tau0=float(t0s[i]), max_iters=200, tol=1e-6)
+        assert rb.iteration_counts[i] == ri.iteration_count
+        np.testing.assert_array_equal(np.asarray(rb.solutions[i]),
+                                      np.asarray(ri.solution))
+        np.testing.assert_array_equal(rb.taus[i], ri.taus)
+    with pytest.raises(ValueError, match="per-instance tau0"):
+        microsolve_batch(prob, bs, tau0=jnp.asarray([0.05, 0.05]),
+                         max_iters=10)
+
+
+def test_batch_per_instance_tau0_planar():
+    """The planar kernel's SMEM scalar is (1,1) so a vmapped
+    per-instance tau0 lowers under Mosaic's block rule."""
+    pr = problems.build("phase_retrieval", m=128, n=16, planar=True,
+                        dtype=jnp.float32)
+    B = 2
+    bs = _stack_perturbed(pr.fterm.b, B)
+    t0s = jnp.asarray([0.01, 0.03], jnp.float32)
+    rb = microsolve_batch(pr, bs, tau0=t0s, max_iters=200, tol=1e-4)
+    for i in range(B):
+        pi = pr.with_parts(fterm=type(pr.fterm)(bs[i]))
+        ri = microsolve(pi, tau0=float(t0s[i]), max_iters=200, tol=1e-4)
+        assert rb.iteration_counts[i] == ri.iteration_count
+        np.testing.assert_array_equal(rb.taus[i], ri.taus)
