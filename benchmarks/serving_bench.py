@@ -138,6 +138,22 @@ def main():
               f"({nbatch/wb:5.0f} images/s); iters "
               f"{ksb.min()}..{ksb.max()}")
 
+        # recommend_path must pick the measured batch-path winner at
+        # this config (the regime map as code — serving.py)
+        from fasta_tpu import recommend_path
+        plan = recommend_path(probs[0], nbatch)
+        measured_best = ("microsolve_batch" if wb / nbatch < w / nbatch
+                         else "batch_solver")
+        tag = "OK" if plan.path == measured_best else "MISMATCH"
+        print(f"tv{hw} recommend_path(batch={nbatch}) -> {plan.path} "
+              f"[measured winner: {measured_best}] {tag}")
+        # --quick shrinks the batches below the measured configs, where
+        # the crossover genuinely moves — only the full run asserts
+        assert quick or plan.path == measured_best, (
+            f"regime map stale at tv{hw} batch {nbatch}: recommended "
+            f"{plan.path}, measured winner {measured_best} — re-tune "
+            f"serving.BATCH_CROSSOVER_UNKNOWNS")
+
 
 if __name__ == "__main__":
     main()

@@ -38,6 +38,7 @@ from .micro import (MicroBatchResult, MicroResult, microsolve,
                     microsolve_batch, microsolve_supported,
                     microsolve_sweep)
 from .problem import Problem
+from .serving import ServingPlan, recommend_path
 from .terms import (
     SmoothTerm, LeastSquares, Logistic, MaskedLogistic, PhaseHinge, NMFLoss,
     PlanarPhaseHinge, SquaredHinge, FunctionSmooth, ProxTerm, L1Norm,
@@ -62,6 +63,7 @@ __all__ = [
     "MaxRowNormBall", "LinearAnchor", "PlanarLinearAnchor", "L2Norm2", "ZeroTerm",
     "Problem", "MicroBatchResult", "MicroResult", "microsolve",
     "microsolve_batch", "microsolve_supported", "microsolve_sweep",
+    "ServingPlan", "recommend_path",
     "FunctionProx", "as_smooth_term", "as_prox_term", "checkpoint",
     "operators", "plotting", "profiling", "prox", "smooth", "terms",
 ]

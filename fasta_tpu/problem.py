@@ -75,6 +75,20 @@ class Problem:
         from .micro import microsolve_sweep as _micro_sweep
         return _micro_sweep(self, mus, **kwargs)
 
+    def solve_serving(self, bs=None, *, need_full_diagnostics=False,
+                      **kwargs):
+        """Solve via the measured-best serving path for this problem's
+        shape and batch size (the PERF.md regime map as code —
+        :func:`fasta_tpu.serving.recommend_path`).  ``bs`` stacks
+        measurement vectors for a batched request; ``None`` = single
+        solve.  Remaining kwargs go to the selected path."""
+        from .serving import recommend_path
+        batch = 1 if bs is None else int(jnp.asarray(bs).shape[0])
+        plan = recommend_path(
+            self, batch, need_full_diagnostics=need_full_diagnostics)
+        return plan.run(bs=bs, **kwargs) if bs is not None \
+            else plan.run(**kwargs)
+
     def with_parts(self, **kwargs) -> "Problem":
         """Copy with replaced fields (used by sharding placement)."""
         return replace(self, **kwargs)

@@ -1,0 +1,169 @@
+"""Serving-path recommendation — the measured regime map as code.
+
+docs/PERF.md ("Serving regimes") records which execution path wins each
+workload shape on the live chip; until now that knowledge lived only in
+prose.  :func:`recommend_path` encodes the measured decision tree and
+returns a :class:`ServingPlan` that names the winning path, explains
+why, and can execute it.
+
+The measured regimes (v5e, readback-barrier-subtracted; PERF.md):
+
+* **Single solve, any size** → the whole-solve microsolver.  The XLA
+  loop pays a per-iteration dispatch tail at every size; the one-launch
+  kernel removes it entirely and won every measured single-solve row
+  (TV 512²: 1.9–3.6x; TV 64²: 3.5x; LASSO 1000x2000: 7.1x).
+* **Batch of LARGE problems** → ``microsolve_batch`` (vmap over the
+  kernel = one launch with a leading grid axis).  Measured 512²x8:
+  34.8 ms/image = 3.2x the vmapped XLA batch solver — vmapping does
+  not amortize the dispatch tail at this size and every lane pays the
+  slowest image's iteration count.
+* **Batch of SMALL problems** → the vmapped XLA batch solver
+  (:func:`~fasta_tpu.solver.make_batch_solver`).  Measured 64²x64:
+  3.23 ms/image vs 5.70 for sequential grid steps — iterations are
+  dispatch-tail-dominated, so cross-instance vectorization amortizes
+  exactly what hurts the large-image batch.
+* **Out-of-scope structure, f64, or full diagnostics** → the XLA loop
+  (single) / vmapped batch solver (batched).  The microsolvers cover a
+  fixed set of VMEM-resident f32 structures and export
+  (taus, residuals[, fvals]) only.
+
+The size crossover between the two batch paths was measured at the
+endpoints 64² (4,096 unknowns, XLA batch wins) and 512² (262,144
+unknowns, kernel batch wins); the threshold here is their geometric
+mean, 2¹⁵ = 32,768 unknowns.  Re-measure with
+``benchmarks/serving_bench.py`` when targeting shapes near the middle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .micro import microsolve_supported
+from .options import FastaOptions
+from .problem import Problem
+
+__all__ = ["ServingPlan", "recommend_path", "BATCH_CROSSOVER_UNKNOWNS"]
+
+# measured endpoints: 4,096 unknowns (64², vmapped XLA batch wins) and
+# 262,144 (512², microsolve_batch wins); geometric mean = 2**15
+BATCH_CROSSOVER_UNKNOWNS = 32_768
+
+
+@dataclass
+class ServingPlan:
+    """A named execution path plus the measured rationale.
+
+    ``run(...)`` executes the plan: for the batch paths pass the
+    stacked measurement vectors ``bs`` (shape ``(B,) + b.shape``);
+    keyword options are forwarded to the underlying path
+    (:func:`~fasta_tpu.micro.microsolve` /
+    :func:`~fasta_tpu.micro.microsolve_batch` kwargs for the kernel
+    paths, a :class:`~fasta_tpu.options.FastaOptions` via ``options=``
+    for the XLA paths).
+    """
+
+    path: str          # microsolve | microsolve_batch | batch_solver | xla
+    reason: str        # one-line measured rationale
+    problem: Problem
+    batch_size: int
+
+    def run(self, bs: Optional[Any] = None, **kwargs):
+        if self.path == "microsolve":
+            return self.problem.microsolve(**kwargs)
+        if self.path == "microsolve_batch":
+            if bs is None:
+                raise ValueError("batched plan needs the stacked "
+                                 "measurement vectors bs")
+            return self.problem.microsolve_batch(bs, **kwargs)
+        if self.path == "xla":
+            return self.problem.solve(kwargs.pop("options", None),
+                                      **kwargs)
+        # vmapped XLA batch solver over the smooth term's data leaves
+        if bs is None:
+            raise ValueError("batched plan needs the stacked "
+                             "measurement vectors bs")
+        from .solver import make_batch_solver
+        opts = kwargs.pop("options", None) or FastaOptions()
+        tau0 = kwargs.pop("tau0", None) or self.problem.tau0
+        if tau0 is None:
+            from .solver import estimate_stepsize
+            tau0_arr, _ = estimate_stepsize(
+                self.problem.op, self.problem.fterm,
+                jnp.asarray(self.problem.x0), key=0)
+            tau0 = float(tau0_arr)
+        if kwargs:
+            raise ValueError(f"batch_solver path takes options=/tau0= "
+                             f"only, got {sorted(kwargs)}")
+        fterm = self.problem.fterm
+        leaves = jax.tree_util.tree_leaves(fterm)
+        if len(leaves) != 1:
+            raise ValueError(
+                f"batch_solver plan batches the smooth term's single "
+                f"data leaf; {type(fterm).__name__} has {len(leaves)} "
+                f"leaves — build the batched term yourself and call "
+                f"make_batch_solver directly")
+        bterm = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(fterm), [jnp.asarray(bs)])
+        solve = make_batch_solver(opts, in_axes=(None, 0, None, None,
+                                                 None))
+        return solve(self.problem.op, bterm, self.problem.gterm,
+                     jnp.asarray(self.problem.x0),
+                     jnp.asarray(tau0, jnp.float32))
+
+
+def recommend_path(problem: Problem, batch_size: int = 1, *,
+                   need_full_diagnostics: bool = False) -> ServingPlan:
+    """Pick the measured-best serving path for ``problem`` at
+    ``batch_size`` (the module docstring is the measured regime map).
+
+    Static metadata decision — no compilation, no device work.
+    ``need_full_diagnostics`` forces the XLA paths (the kernels export
+    taus/residuals[/fvals] only — C5 subset, micro.py).
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    supported, why = microsolve_supported(problem)
+    dtype = jnp.result_type(jnp.asarray(problem.x0).dtype)
+    f32 = dtype in (jnp.float32, jnp.complex64)
+
+    if need_full_diagnostics or not supported or not f32:
+        cause = ("full diagnostics requested (kernels export "
+                 "taus/residuals[/fvals] only)" if need_full_diagnostics
+                 else (f"no whole-solve kernel: {why}" if not supported
+                       else f"{np.dtype(dtype).name} solve (kernels are "
+                            f"f32)"))
+        if batch_size == 1:
+            return ServingPlan("xla", f"XLA loop — {cause}", problem,
+                               batch_size)
+        return ServingPlan("batch_solver",
+                           f"vmapped XLA batch solver — {cause}",
+                           problem, batch_size)
+
+    if batch_size == 1:
+        return ServingPlan(
+            "microsolve",
+            "whole-solve kernel — wins every measured single-solve row "
+            "(no per-iteration dispatch tail; PERF.md serving table)",
+            problem, batch_size)
+
+    n_unknowns = int(np.prod(np.shape(problem.x0)))
+    if n_unknowns >= BATCH_CROSSOVER_UNKNOWNS:
+        return ServingPlan(
+            "microsolve_batch",
+            f"one-launch kernel batch — {n_unknowns} unknowns >= "
+            f"{BATCH_CROSSOVER_UNKNOWNS} crossover; vmapping the XLA "
+            f"loop does not amortize the dispatch tail at this size "
+            f"(measured 512²x8: 3.2x)",
+            problem, batch_size)
+    return ServingPlan(
+        "batch_solver",
+        f"vmapped XLA batch solver — {n_unknowns} unknowns < "
+        f"{BATCH_CROSSOVER_UNKNOWNS} crossover; small-problem "
+        f"iterations are dispatch-tail-dominated, so cross-instance "
+        f"vectorization wins (measured 64²x64: 1.8x)",
+        problem, batch_size)
