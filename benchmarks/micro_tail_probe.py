@@ -54,9 +54,158 @@ SHRINKF = 0.2
 MAXBT = 20
 
 
-def make(level, col=False, thread=False, interpret=False):
-    """Ladder kernel at `level` (0..6); col/thread = X-variants."""
+def make(level, col=False, thread=False, vecscal=False, fusedred=False,
+         condbt=False, interpret=False):
+    """Ladder kernel at `level` (0..6); col/thread/vecscal = X-variants.
+
+    vecscal (implies col+thread): every reduction keeps dims — nd2, f,
+    dots, tau, res all live as (1,1) VREG values and the decision math
+    (backtrack sufficient-decrease, BB select, stopping) runs on the
+    VPU; the only vreg->sreg extracts per iteration are the two loop
+    conditions (backtrack viol, outer stop).  Hypothesis: the ~8
+    scalar extracts per iteration of the shipped kernel serialize the
+    loop's critical path (each sum -> sreg -> scalar math -> sreg ->
+    vreg splat round trip stalls the vector pipe)."""
     kpad = 128
+
+    def kern_vecscal(A_ref, b_ref, x0_ref, o_ref, taus_ref, res_ref):
+        A = A_ref[:]
+        b = b_ref[:]                       # (m,1) column
+        x0 = x0_ref[:]
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, WPAD), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+
+        def fwd(x):
+            return jnp.sum(A * x, axis=1, keepdims=True)       # (m,1)
+
+        def adj(r):
+            return jnp.sum(A * r, axis=0, keepdims=True)       # (1,n)
+
+        def rsum(v):
+            """Full reduction to a (1,1) vreg value."""
+            return jnp.sum(v, keepdims=True).reshape(1, 1)
+
+        def rsum2(va, vb):
+            """Two same-shape row reductions fused into ONE (2,n)
+            lane-reduce -> two (1,1) values (X4: one reduce chain
+            instead of two)."""
+            if not fusedred:
+                return rsum(va), rsum(vb)
+            s = jnp.sum(jnp.concatenate([va, vb], axis=0), axis=1,
+                        keepdims=True)                    # (2,1)
+            # sublane slices of a column hit Mosaic's unimplemented
+            # lane-broadcast; extract scalars instead (2026-08-20)
+            return s[0, 0], s[1, 0]
+
+        def rsum4(va, vb, vc, vd):
+            if not fusedred:
+                return rsum(va), rsum(vb), rsum(vc), rsum(vd)
+            s = jnp.sum(jnp.concatenate([va, vb, vc, vd], axis=0),
+                        axis=1, keepdims=True)            # (4,1)
+            return s[0, 0], s[1, 0], s[2, 0], s[3, 0]
+
+        def fof(d):
+            r = d - b
+            return 0.5 * rsum(r * r)                           # (1,1)
+
+        def shrink(z, t):
+            mag = jnp.abs(z)
+            return z * (jnp.maximum(mag - t, 0.0)
+                        / jnp.maximum(mag, 1e-30))
+
+        def record(k, tau, res, trow_c, rrow_c):
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            trow_n = jnp.where(lane128 == lane, tau, trow_c)
+            rrow_n = jnp.where(lane128 == lane, res, rrow_c)
+            taus_ref[pl.ds(row, 1), :] = trow_n
+            res_ref[pl.ds(row, 1), :] = rrow_n
+            return trow_n, rrow_n
+
+        neg = jnp.full((1, WPAD), -jnp.inf, jnp.float32)
+        d0 = fwd(x0)
+        f0 = fof(d0)
+        g0 = adj(d0 - b)
+        fwin0 = jnp.where(lane_w == 0, f0, neg)
+
+        def body(k, c):
+            (x_c, g_c, tau_c, fwin_c, maxres_c, trow_c, rrow_c) = c
+            M_ = jnp.max(fwin_c, axis=1, keepdims=True)        # (1,1)
+
+            def fb(tau_):
+                x1hat = x_c - tau_ * g_c
+                x1 = shrink(x1hat, tau_ * MU)
+                dx = x1 - x_c
+                d1 = fwd(x1)
+                nd2, rdg = rsum2(dx * dx, dx * g_c)
+                return x1hat, x1, dx, fof(d1), adj(d1 - b), nd2, rdg
+
+            def bt_cond(bc):
+                tau_b, f1_b, nd2, rdg = bc[0], bc[4], bc[6], bc[7]
+                cnt = bc[-1]
+                suff = M_ + rdg + nd2 / (2.0 * tau_b)
+                # Mosaic can't squeeze a bool vreg to a scalar — cast
+                # to int32 first (the ONE extract per trial)
+                viol = (f1_b - 1e-12 > suff).astype(jnp.int32)[0, 0]
+                return (viol > 0) & (cnt < MAXBT)
+
+            def bt_body(bc):
+                tau_b, *_, cnt = bc
+                tau_n = tau_b * SHRINKF
+                return (tau_n,) + fb(tau_n) + (cnt + 1,)
+
+            first = (tau_c,) + fb(tau_c) + (jnp.zeros((), jnp.int32),)
+            if condbt:
+                # X5: the hot path evaluates ONE trial + the violation
+                # test; the while_loop region only exists behind a
+                # rarely-taken branch (identical trial sequence)
+                out = jax.lax.cond(
+                    bt_cond(first),
+                    lambda fs: jax.lax.while_loop(bt_cond, bt_body,
+                                                  bt_body(fs)),
+                    lambda fs: fs, first)
+            else:
+                out = jax.lax.while_loop(bt_cond, bt_body, first)
+            tau, x1hat, x1, dx, f1, g1, nd2, _rdg = out[:8]
+
+            res = jnp.sqrt(nd2) / tau                          # (1,1)
+            maxres = jnp.maximum(maxres_c, res)
+            sm = x1 - x1hat
+
+            dg = g1 + (x1hat - x_c) / tau
+            dotprod, ndg2, gg_, ss_ = rsum4(dx * dg, dg * dg,
+                                            g_c * g_c, sm * sm)
+            tau_s = jnp.where(dotprod != 0.0, nd2 / dotprod, jnp.inf)
+            tau_m = jnp.maximum(
+                jnp.where(ndg2 > 0.0, dotprod / ndg2, 0.0), 0.0)
+            tau_n = jnp.where(2.0 * tau_m > tau_s, tau_m,
+                              tau_s - 0.5 * tau_m)
+            bad = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
+            tau_n = jnp.where(bad, tau * 1.5, tau_n)           # (1,1)
+
+            normalizer = jnp.maximum(jnp.sqrt(gg_),
+                                     jnp.sqrt(ss_) / tau) + 1e-8
+            nres = res / normalizer
+            stop = ((res / (maxres + 1e-8) < -1.0)
+                    | (nres < -1.0))                           # (1,1)
+
+            fwin_n = jnp.where(lane_w == (k + 1) % WINDOW, f1, fwin_c)
+            trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
+
+            # keep the stop consumption fully vectorized (no extract):
+            # a (1,1) f32 broadcasts across the (1,n) row
+            x_n = x0 + 0.0 * x1 + 0.0 * stop.astype(jnp.float32)
+            return (x_n, g1, tau_n, fwin_n, maxres, trow_n, rrow_n)
+
+        init = (x0, g0, jnp.full((1, 1), TAU0, jnp.float32), fwin0,
+                jnp.zeros((1, 1), jnp.float32),
+                jnp.zeros((1, 128), jnp.float32),
+                jnp.zeros((1, 128), jnp.float32))
+        fin = jax.lax.fori_loop(0, K, body, init)
+        o_ref[:] = fin[0] + 0.0 * fin[1]
 
     def kern(A_ref, b_ref, x0_ref, o_ref, taus_ref, res_ref):
         A = A_ref[:]
@@ -221,11 +370,13 @@ def make(level, col=False, thread=False, interpret=False):
         fin = jax.lax.fori_loop(0, K, body, init)
         o_ref[:] = fin[0] + 0.0 * fin[1]
 
+    use_col = col or vecscal
+
     @jax.jit
     def run(A, b, x0):
-        bshape = (M, 1) if col else (1, M)
+        bshape = (M, 1) if use_col else (1, M)
         return pl.pallas_call(
-            kern,
+            kern_vecscal if vecscal else kern,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
@@ -249,7 +400,12 @@ def main():
 
     variants = [(f"L{i}", dict(level=i)) for i in range(7)]
     variants += [("X1-col", dict(level=6, col=True)),
-                 ("X2-col+thread", dict(level=6, col=True, thread=True))]
+                 ("X2-col+thread", dict(level=6, col=True, thread=True)),
+                 ("X3-vecscal", dict(level=6, vecscal=True)),
+                 ("X4-fusedred", dict(level=6, vecscal=True,
+                                      fusedred=True)),
+                 ("X5-condbt", dict(level=6, vecscal=True, fusedred=True,
+                                    condbt=True))]
 
     if CHECK:
         outs = {}
@@ -261,6 +417,12 @@ def main():
         # the x-variants reorganize layout, not math: same chained output
         np.testing.assert_allclose(outs["X1-col"], outs["L6"], rtol=1e-6)
         np.testing.assert_allclose(outs["X2-col+thread"], outs["L6"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(outs["X3-vecscal"], outs["L6"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(outs["X4-fusedred"], outs["L6"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(outs["X5-condbt"], outs["L6"],
                                    rtol=1e-6)
         print("X-variants bit-class match L6 (interpret)")
         return

@@ -47,7 +47,7 @@ CHECK = "--check" in sys.argv
 if CHECK:
     jax.config.update("jax_platforms", "cpu")
 
-M, N, K = (1024, 256, 4) if CHECK else (16384, 256, 2000)
+M, N, K = (1024, 256, 4) if CHECK else (16384, 256, 8000)
 RC = 512 if CHECK else 2048
 NCH = M // RC
 HI = jax.lax.Precision.HIGHEST
@@ -148,6 +148,87 @@ def make(variant, interpret=False):
         o_ref[0:1] = gr
         o_ref[1:2] = gi
 
+    def kern_colu(Ar_ref, Ai_ref, x_ref, o_ref, dscr_r, dscr_i,
+                  yscr_r, yscr_i):
+        """col with the chunk loops UNROLLED (static slices, no
+        fori_loop/ds overhead — lets Mosaic software-pipeline the
+        chunk stream)."""
+        xr = x_ref[0:1]
+        xi = x_ref[1:2]
+
+        def body(i, carry):
+            cr, ci, _gr, _gi = carry
+            for j in range(NCH):
+                Arc = Ar_ref[j * RC:(j + 1) * RC, :]
+                Aic = Ai_ref[j * RC:(j + 1) * RC, :]
+                dscr_r[j * RC:(j + 1) * RC, :] = jnp.sum(
+                    Arc * cr - Aic * ci, axis=1, keepdims=True)
+                dscr_i[j * RC:(j + 1) * RC, :] = jnp.sum(
+                    Arc * ci + Aic * cr, axis=1, keepdims=True)
+            yscr_r[:] = dscr_r[:]
+            yscr_i[:] = dscr_i[:]
+            gr = jnp.zeros((1, N), jnp.float32)
+            gi = jnp.zeros((1, N), jnp.float32)
+            for j in range(NCH):
+                Arc = Ar_ref[j * RC:(j + 1) * RC, :]
+                Aic = Ai_ref[j * RC:(j + 1) * RC, :]
+                yrc = yscr_r[j * RC:(j + 1) * RC, :]
+                yic = yscr_i[j * RC:(j + 1) * RC, :]
+                gr = gr + jnp.sum(Arc * yrc + Aic * yic, axis=0,
+                                  keepdims=True)
+                gi = gi + jnp.sum(Arc * yic - Aic * yrc, axis=0,
+                                  keepdims=True)
+            return xr + 0.0 * gr, xi + 0.0 * gi, gr, gi
+
+        z = jnp.zeros((1, N), jnp.float32)
+        _fr, _fi, gr, gi = jax.lax.fori_loop(0, K, body, (xr, xi, z, z))
+        o_ref[0:1] = gr
+        o_ref[1:2] = gi
+
+    def kern_rowt(Art_ref, Ait_ref, x_ref, o_ref, dscr_r, dscr_i,
+                  yscr_r, yscr_i):
+        """TRANSPOSED (n, m) channel storage: fwd = sublane-reduce ->
+        (1, m) ROW (natural — the whole residual side stays in row
+        layout); adj = lane-reduce -> (n,1) column.  Only four
+        n=256-element transposes per pair (x channels in, g channels
+        out); every m-sized relayout is gone.  Lane chunks of LC."""
+        xr = x_ref[0:1]
+        xi = x_ref[1:2]
+        LC = RC                                  # lane-chunk width
+
+        def body(i, carry):
+            cr, ci, _gr, _gi = carry
+            crc = cr.reshape(N, 1)               # 256-elt transposes
+            cic = ci.reshape(N, 1)
+            for j in range(NCH):
+                Art = Art_ref[:, j * LC:(j + 1) * LC]
+                Ait = Ait_ref[:, j * LC:(j + 1) * LC]
+                dscr_r[0:1, j * LC:(j + 1) * LC] = jnp.sum(
+                    Art * crc - Ait * cic, axis=0, keepdims=True)
+                dscr_i[0:1, j * LC:(j + 1) * LC] = jnp.sum(
+                    Art * cic + Ait * crc, axis=0, keepdims=True)
+            yscr_r[:] = dscr_r[:]
+            yscr_i[:] = dscr_i[:]
+            grc = jnp.zeros((N, 1), jnp.float32)
+            gic = jnp.zeros((N, 1), jnp.float32)
+            for j in range(NCH):
+                Art = Art_ref[:, j * LC:(j + 1) * LC]
+                Ait = Ait_ref[:, j * LC:(j + 1) * LC]
+                yrc = yscr_r[0:1, j * LC:(j + 1) * LC]
+                yic = yscr_i[0:1, j * LC:(j + 1) * LC]
+                grc = grc + jnp.sum(Art * yrc + Ait * yic, axis=1,
+                                    keepdims=True)
+                gic = gic + jnp.sum(Art * yic - Ait * yrc, axis=1,
+                                    keepdims=True)
+            gr = grc.reshape(1, N)
+            gi = gic.reshape(1, N)
+            return xr + 0.0 * gr, xi + 0.0 * gi, gr, gi
+
+        z = jnp.zeros((1, N), jnp.float32)
+        _fr, _fi, gr, gi = jax.lax.fori_loop(0, K, body, (xr, xi, z, z))
+        o_ref[0:1] = gr
+        o_ref[1:2] = gi
+
     def kern_mxu(Ar_ref, Ai_ref, x_ref, o_ref, dscr_r, dscr_i,
                  yscr_r, yscr_i):
         """dot_general both directions (batch-1 GEMV on the MXU):
@@ -199,12 +280,16 @@ def make(variant, interpret=False):
         o_ref[0:1] = gr
         o_ref[1:2] = gi
 
-    kern = {"cur": kern_cur, "col": kern_col, "mxu": kern_mxu}[variant]
-    col = variant == "col"
+    kern = {"cur": kern_cur, "col": kern_col, "colu": kern_colu,
+            "rowt": kern_rowt, "mxu": kern_mxu}[variant]
+    col = variant in ("col", "colu")
+    rowt = variant == "rowt"
     dshape = (M, 1) if col else (1, M)
 
     @jax.jit
     def run(Ar, Ai, x):
+        if rowt:
+            Ar, Ai = Ar.T, Ai.T              # one-time XLA transposes
         return pl.pallas_call(
             kern,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
@@ -212,7 +297,9 @@ def make(variant, interpret=False):
             out_shape=jax.ShapeDtypeStruct((2, N), jnp.float32),
             scratch_shapes=[pltpu.VMEM(dshape, jnp.float32)] * 4,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(100 << 20, 2 * M * N * 4 + (32 << 20)),
+                # +40 MB: the col variant's scoped stack ran 12 KB past
+                # a 32 MB headroom on hardware (2026-08-20)
+                vmem_limit_bytes=min(100 << 20, 2 * M * N * 4 + (40 << 20)),
             ),
             interpret=interpret,
         )(Ar, Ai, x)
@@ -243,7 +330,7 @@ def main():
         gr0, gi0 = reference_pair(np.asarray(Ar), np.asarray(Ai),
                                   np.asarray(x))
         ref = np.concatenate([gr0, gi0], axis=0)
-        for variant in ("cur", "col", "mxu"):
+        for variant in ("cur", "col", "colu", "rowt", "mxu"):
             run = make(variant, interpret=True)
             out = np.asarray(run(Ar, Ai, x))
             np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-3)
@@ -261,7 +348,7 @@ def main():
 
     bytes_per_pair = 2 * 2 * M * N * 4        # Ar+Ai read fwd AND adj
     walls = {}
-    for variant in ("cur", "col", "mxu"):
+    for variant in ("cur", "col", "colu", "rowt", "mxu"):
         run = make(variant)
         float(jnp.sum(run(Ar, Ai, x)))        # compile
         best = 1e9
