@@ -451,4 +451,108 @@ print(f"[11] mu-sweep HW: dense path bit-matches per-mu launches "
       f"{list(rtv11.iteration_counts)} conv="
       f"{bool(np.all(rtv11.converged))}")
 
+# ---- 12. round-4 kernel features on chip ---------------------------------
+# Selectable stop rules, f-value recording, per-instance tau0 batching
+# and the warm-started in-kernel mu-path only ran in interpret mode
+# when they landed; each is a distinct lowering (static branches, a new
+# SMEM vector layout, grid-persistent scratch).
+r12 = microsolve(pb, tau0=0.05, max_iters=400, tol=1e-5,
+                 stop_rule="residual", record_fvals=True)
+rx12 = pb.solve(tol=1e-5, max_iters=400, fuse=False,
+                precision="standard", stop_rule="residual")
+np.testing.assert_allclose(np.asarray(r12.taus[:10]),
+                           np.asarray(rx12.taus)[:10], rtol=1e-4)
+np.testing.assert_allclose(np.asarray(r12.fvals[:10]),
+                           np.asarray(rx12.fvals)[:10], rtol=1e-3)
+assert r12.converged
+
+# per-instance tau0: batch with heterogeneous tau0s bit-matches
+# separate launches (the (B,1,2) SMEM path table on chip)
+t0s = jnp.asarray([0.03, 0.05, 0.08], jnp.float32)
+bs12 = jnp.stack([b10] * 3)
+rb12 = microsolve_batch(pb, bs12, tau0=t0s, max_iters=400, tol=1e-5)
+for i, t0_ in enumerate(np.asarray(t0s)):
+    ri = microsolve(pb, tau0=float(t0_), max_iters=400, tol=1e-5)
+    assert rb12.iteration_counts[i] == ri.iteration_count, (
+        i, rb12.iteration_counts[i], ri.iteration_count)
+    np.testing.assert_array_equal(np.asarray(rb12.solutions[i]),
+                                  np.asarray(ri.solution))
+
+# warm-started in-kernel mu-path (strongest-first continuation) vs the
+# cold sweep: same converged objectives, fewer total iterations
+mus12 = jnp.asarray([0.2, 0.1, 0.05, 0.02], jnp.float32)
+rw = microsolve_sweep(pb, mus12, tau0=0.05, max_iters=400, tol=1e-5,
+                      stop_rule="residual", warm_start=True)
+rc_ = microsolve_sweep(pb, mus12, tau0=0.05, max_iters=400, tol=1e-5,
+                       stop_rule="residual")
+A12 = jnp.asarray(pb.op.A, jnp.float32)
+for i, mu_ in enumerate(np.asarray(mus12)):
+    for rr in (rw, rc_):
+        xs_ = jnp.asarray(rr.solutions[i])
+        f_ = float(0.5 * jnp.sum((A12 @ xs_ - b10) ** 2)
+                   + mu_ * jnp.sum(jnp.abs(xs_)))
+        x_c = jnp.asarray(rc_.solutions[i])
+        f_c = float(0.5 * jnp.sum((A12 @ x_c - b10) ** 2)
+                    + mu_ * jnp.sum(jnp.abs(x_c)))
+        assert abs(f_ - f_c) <= 1e-4 * (1.0 + abs(f_c)), (i, f_, f_c)
+ww, cc = int(np.sum(rw.iteration_counts)), int(np.sum(rc_.iteration_counts))
+print(f"[12] round-4 features HW: residual-rule fvals match XLA "
+      f"(10-iter rtol 1e-3); heterogeneous-tau0 batch bit-matches "
+      f"separate launches; warm mu-path {ww} total iters vs cold {cc} "
+      f"(objectives match per mu)")
+
+# ---- 13. full-solve STREAMING rows (512 MB, current session) --------------
+# Round-3 VERDICT missing #1: the quoted full-solve streaming numbers
+# (f32 1.78x / bf16 4.1x / logistic 1.81x) were 2026-08-17
+# builder-recorded rows; the gradmap alone re-measured 2.00x.  This
+# check re-pairs the FULL adaptive solve kernel-on vs kernel-off in the
+# same session, plus the bf16-storage and logistic-pointwise rows.
+if QUICK:
+    print("[13] (quick) full-solve streaming rows deferred to the full "
+          "run (512 MB operands)")
+else:
+    import os
+    from fasta_tpu import LowPrecDenseOp, make_solver as _mk
+
+    def timed_solve(prob_, opts_, tau0_):
+        sv = _mk(opts_)
+        args_ = (prob_.op, prob_.fterm, prob_.gterm,
+                 jnp.asarray(prob_.x0), jnp.asarray(tau0_, jnp.float32))
+        out = sv(*args_); float(jnp.sum(out.taus))
+        barrier = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter(); float(jnp.sum(out.taus))
+            barrier = min(barrier, time.perf_counter() - t0)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = sv(*args_); float(jnp.sum(o.taus))
+            best = min(best, time.perf_counter() - t0)
+        return opts_.max_iters / max(best - barrier, 1e-9)
+
+    ITER13 = 600
+    opts13 = FastaOptions(max_iters=ITER13, stop_rule="iterations",
+                          adaptive=True, backtrack=True)
+    pl13 = problems.build("lasso", m=8192, n=16384, k=400)
+    os.environ["FASTA_TPU_PALLAS"] = "0"
+    off_ips = timed_solve(pl13, opts13, 2e-3)
+    os.environ.pop("FASTA_TPU_PALLAS", None)     # auto -> ON at 512 MB
+    on_ips = timed_solve(pl13, opts13, 2e-3)
+    p16 = pl13.with_parts(op=LowPrecDenseOp.from_dense(
+        jnp.asarray(pl13.op.A, jnp.float32)))
+    bf_ips = timed_solve(p16, opts13, 2e-3)
+    del pl13, p16
+    plog = problems.build("logistic", m=8192, n=16384, k=400)
+    os.environ["FASTA_TPU_PALLAS"] = "0"
+    log_off = timed_solve(plog, opts13, 2e-3)
+    os.environ.pop("FASTA_TPU_PALLAS", None)
+    log_on = timed_solve(plog, opts13, 2e-3)
+    del plog
+    print(f"[13] full-solve streaming 8192x16384 ({ITER13} fixed iters, "
+          f"net): f32 XLA {off_ips:.0f} it/s -> kernel {on_ips:.0f} it/s "
+          f"({on_ips/off_ips:.2f}x); bf16 storage {bf_ips:.0f} it/s "
+          f"({bf_ips/off_ips:.2f}x vs f32 XLA); logistic pointwise "
+          f"{log_off:.0f} -> {log_on:.0f} it/s ({log_on/log_off:.2f}x)  "
+          f"[2026-08-17 rows: 1.78x / 4.1x / 1.81x]")
+
 print("ALL REVALIDATION OK")

@@ -27,6 +27,39 @@ for ladder fidelity (microsolve_lasso, stop_rule="iterations").
 
 Run on the live TPU:  python benchmarks/micro_tail_probe.py
 Interpret-mode check:  ... --check (CPU, small shape, 3 iters)
+
+Measured live 2026-08-20 (K=100k in-kernel iters, 3 runs, RTT 24-26 ms
+days; the chip was ~1.2x slower than the 2026-08-19 session — L0 here
+is 1.77 us where the bf16 probe measured the bare pair at 1.43 us):
+
+  L0 floor      1.77 us/iter  (565k it/s)
+  L1 +prox      +0.02
+  L2 +backtrack +0.61   <- the while_loop region itself (cond = 2
+                            reduces + branch; carried (1,n) values
+                            cross the region boundary)
+  L3 +window    +0.01
+  L4 +resid     +0.36
+  L5 +BB        +1.46   <- the big one
+  L6 +record    +0.00
+  X1-col        3.68-3.75 us  (relayout-free matvec pair: -0.55)
+  X2-+thread    3.62-3.85 us
+  X3-vecscal    3.45-3.52 us  (best: all decisions in (1,1) vregs)
+  X4-fusedred   3.62 us       (stacked multi-row reduce: WORSE)
+  X5-condbt     3.50 us       (cond-wrapped backtrack: = X3)
+  shipped       3.54-3.61 us  (same session)
+
+VERDICT: the tail is NOT scalar extracts, recording, or the window —
+it is the LATENCY of the serial per-iteration decision chain
+(fwd-reduce -> f/adj -> backtrack viol -> BB dots -> tau -> next
+x1hat), which no structural variant shortened by more than ~4% over
+the shipped kernel (X3 3.45 vs shipped 3.54 us, within session noise;
+L6 itself drifted 4.23-4.70 us between runs).  The round-3 VERDICT's
+>=450k it/s target is UNREACHABLE for this algorithm on this chip:
+the zero-tail floor is 565k and any faithful nonmonotone-backtracking
++ BB iteration must serialize its decision chain against the next
+matvec.  The shipped kernel stands within ~2-4% of the best of nine
+structural variants; left unchanged (churn without measurable gain).
+Do not revisit without new hardware or a changed algorithm contract.
 """
 import sys
 import time

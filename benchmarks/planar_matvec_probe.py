@@ -29,6 +29,27 @@ method) and prints implied VMEM GB/s.  Variants:
 
 Run on the live TPU:  python benchmarks/planar_matvec_probe.py
 Interpret-mode correctness check:  ... --check (CPU, small shape)
+
+Measured live 2026-08-20 (K=8000 chained pairs, RTT-subtracted, same
+session as the dense tail probe's L0 = 1.77 us floor):
+  cur   75.2-75.5 us/pair ->   889-892 GB/s implied  (round-3 kernel)
+  col   23.0-23.6 us/pair -> 2,842-2,918 GB/s        (3.2x)
+  colu  22.2-22.7 us/pair -> 2,957-3,025 GB/s        (3.3x, unrolled)
+  rowt  23.0 us/pair      -> 2,919 GB/s              (transposed)
+  mxu   109-111 us/pair   ->   603-614 GB/s          (batch-1 GEMV)
+VERDICT: hypothesis CONFIRMED — the "7x per-byte gap" was the per-chunk
+relayouts.  The remaining ~22 us is VPU-ISSUE-bound, not bandwidth-
+bound: a planar pair is ~12 elementwise passes over Ar+Ai (4 mults +
+2 add/subs per direction x 2 directions) plus the reduces = ~66M
+vector ops; at the VPU's ~4x(8,128) lanes/cycle that is ~17 us of pure
+issue — the col/rowt variants run within ~1.3x of that bound.  The
+KERNEL adopted rowt (transposed storage): same pair rate as colu but
+the whole residual side (hinge, b, hp dd folds) stays in natural ROW
+layout.  NOTE the kernel could not reuse the probe's keepdims/1-D
+accumulators verbatim: accumulating lane-reduced chunk partials with a
+canonical zeros init poisons the layout ("Invalid relayout" on mul,
+hardware-only) — the shipped adj stages per-chunk partials through an
+(nchunks, n) scratch instead (microsolver_planar.py adj).
 """
 import sys
 import time

@@ -2,14 +2,22 @@
 kernel launch.
 
 The flagship phase-retrieval config (SURVEY.md §3.4: 16384×256 complex)
-stores planar as Ar+Ai = 33.5 MB — comfortably VMEM-resident — yet its
-jitted XLA loop spends ~93 µs/iteration, mostly kernel-launch and loop
-overhead (the arithmetic is ~67 MFLOP/iter).  Same cure as the dense and
-TV microsolvers: run the ENTIRE FBS loop on-core — both channel matrices
-pinned in VMEM across all iterations, the planar matvec pair, the
-PhaseMax hinge, the linear-anchor prox, nonmonotone backtracking, the
-ZGD BB stepsize (or FISTA + O'Donoghue–Candès restart), hybrid stopping
-and the diagnostics ring — with zero per-iteration launches.
+stores planar as Ar+Ai = 32 MB — comfortably VMEM-resident.  Same cure
+as the dense and TV microsolvers: run the ENTIRE FBS loop on-core —
+both channel matrices pinned in VMEM across all iterations, the planar
+matvec pair, the PhaseMax hinge, the linear-anchor prox, nonmonotone
+backtracking, the ZGD BB stepsize (or FISTA + O'Donoghue–Candès
+restart), hybrid stopping and the diagnostics ring — with zero
+per-iteration launches.
+
+The matvecs work on TRANSPOSED (n, m) channel windows ("rowt",
+2026-08-20): the round-3 (m, n) broadcast-reduce formulation paid a
+lane<->sublane relayout per chunk per matvec (~64 transposes of
+2048-element vectors per iteration — benchmarks/planar_matvec_probe.py
+measured the bare pair at 75.5 µs = 889 GB/s implied, which was the
+round-3 VERDICT's unexplained "7× per-byte gap" vs the dense kernel).
+With transposed storage the pair runs 23 µs = 2.9 TB/s implied (3.3×)
+and the flagship solve-to-tol dropped 5.3–5.8 ms -> 2.4 ms on chip.
 
 Problem solved (PhaseMax penalized form, problems/phase_retrieval.py):
 
@@ -35,7 +43,8 @@ _WPAD = 128
 
 
 def _row_chunk(m: int):
-    """Row-chunk size for the chunked matvecs, or None when m > 2048
+    """Measurement-axis chunk size for the chunked matvecs (lane chunks
+    of the transposed (n, m) channel windows), or None when m > 2048
     has no 128-multiple divisor chunk — the unchunked fallback would
     recreate the register-spill VMEM OOM the chunking exists to fix
     (measured 2026-08-19: ~182 MB of spill slots at 16384×256), so
@@ -65,17 +74,29 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
 
     # engine semantics shared with kernels/microsolver.py: "vpu"
-    # default (1.43x the MXU kernel live, 2026-08-19), "mxu" = HIGHEST
-    # (Mosaic has no HIGH lowering, so no bf16x3 tier)
+    # default, "mxu" = HIGHEST dot_general (Mosaic has no HIGH
+    # lowering, so no bf16x3 tier).  The VPU formulation works on
+    # TRANSPOSED (n, m) channel windows — see fwd/adj below and
+    # benchmarks/planar_matvec_probe.py (2026-08-20): the original
+    # (m, n) row-chunked broadcast-reduce paid a lane<->sublane
+    # relayout per chunk per matvec (the (rc,) lane-reduce result is
+    # column-natural, the adjoint input reshape row->column is a
+    # transpose) — ~64 relayouts of 2048-element vectors per
+    # iteration, 75.5 us/pair = 889 GB/s implied on the flagship.
+    # With transposed storage the fwd is a sublane-reduce (row-natural
+    # result, keeps the WHOLE residual side — hinge, b, dd folds — in
+    # fast row layout) and the adj is a lane-reduce into an (n, 1)
+    # column; only four n-element transposes remain per pair:
+    # 23.0 us/pair = 2.9 TB/s implied, 3.3x.
     mxu_prec = jax.lax.Precision.HIGHEST
 
-    # Row-chunked matvecs: materializing the full (m, n) channel
-    # matrices as VALUES (Ar_ref[:]) forces Mosaic to keep them (and
-    # their dot layouts) live in vregs — at the 16384×256 flagship that
-    # compiled to ~182 MB of register spill slots and a VMEM OOM
-    # (measured 2026-08-19).  Reading (rc, n) tiles from the pinned
-    # input windows per fori_loop step bounds live temporaries to ~2 MB
-    # while the matrices themselves stay resident in VMEM once.
+    # Lane-chunked matvecs: materializing the full channel matrices as
+    # VALUES forces Mosaic to keep them live in vregs — at the
+    # 16384×256 flagship that compiled to ~182 MB of register spill
+    # slots and a VMEM OOM (measured 2026-08-19).  Reading (n, rc)
+    # tiles from the pinned input windows per (unrolled) chunk bounds
+    # live temporaries to ~2 MB while the matrices stay resident in
+    # VMEM once.
     rc = _row_chunk(m)
     if rc is None:
         raise ValueError(
@@ -86,7 +107,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
                x_ref, taus_ref, res_ref, fv_ref, k_ref, conv_ref,
-               dscr_r, dscr_i, yscr_r, yscr_i):
+               dscr_r, dscr_i, yscr_r, yscr_i, pscr_r, pscr_i):
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
@@ -125,53 +146,86 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         def dd_dot2(ur, ui, vr, vi):
             return prec.dd_add(dd_dot_rows(ur, vr), dd_dot_rows(ui, vi))
 
-        def _mv(u, M, adjoint):
-            """u: (1,n) fwd / (1,rc) adj against an (rc,n) tile."""
-            if engine == "vpu":
-                if adjoint:
-                    return jnp.sum(M * u.reshape(M.shape[0], 1),
-                                   axis=0).reshape(1, n)
-                return jnp.sum(M * u, axis=1).reshape(1, M.shape[0])
-            dims = (((1,), (0,)), ((), ())) if adjoint \
-                else (((1,), (1,)), ((), ()))
-            return jax.lax.dot_general(
-                u, M, dimension_numbers=dims,
-                preferred_element_type=jnp.float32, precision=mxu_prec)
-
         # Chunk results are assembled through VMEM scratch rows (Mosaic
         # has no dynamic_update_slice lowering for values; ref stores
-        # with pl.ds are the supported idiom).
-        def fwd(xr, xi):
-            """(dr, di) = planar A x on (1,n) channel rows → (1,m)."""
-            def chunk(i, carry):
-                Arc = Ar_ref[pl.ds(i * rc, rc), :]
-                Aic = Ai_ref[pl.ds(i * rc, rc), :]
-                dscr_r[0:1, pl.ds(i * rc, rc)] = (
-                    _mv(xr, Arc, False) - _mv(xi, Aic, False))
-                dscr_i[0:1, pl.ds(i * rc, rc)] = (
-                    _mv(xi, Arc, False) + _mv(xr, Aic, False))
-                return carry
-            jax.lax.fori_loop(0, nchunks, chunk, 0)
-            return dscr_r[:], dscr_i[:]
+        # are the supported idiom).  Chunk loops are UNROLLED (static
+        # slices): the fori_loop + pl.ds version measured ~4% slower
+        # (planar_matvec_probe col vs colu, 2026-08-20).
+        if engine == "vpu":
+            def fwd(xr, xi):
+                """(dr, di) = planar A x on (1,n) channel rows → (1,m)
+                rows: sublane-reduce over the transposed (n, rc) lane
+                chunks — the (1, rc) results are ROW-natural."""
+                xrc = xr.reshape(n, 1)         # n-element transposes
+                xic = xi.reshape(n, 1)         # (cheap: n lanes -> col)
+                for j in range(nchunks):
+                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
+                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
+                    dscr_r[0:1, j * rc:(j + 1) * rc] = jnp.sum(
+                        Art * xrc - Ait * xic, axis=0, keepdims=True)
+                    dscr_i[0:1, j * rc:(j + 1) * rc] = jnp.sum(
+                        Art * xic + Ait * xrc, axis=0, keepdims=True)
+                return dscr_r[:], dscr_i[:]
 
-        def adj(yr, yi):
-            """(gr, gi) = planar Aᴴ y → (1,n)."""
-            yscr_r[:] = yr
-            yscr_i[:] = yi
+            def adj(yr, yi):
+                """(gr, gi) = planar Aᴴ y → (1,n): lane-reduce over the
+                transposed chunks into (n, 1) columns, one n-element
+                transpose each at the end."""
+                yscr_r[:] = yr
+                yscr_i[:] = yi
+                # Per-chunk partials go THROUGH the (nchunks, n)
+                # scratch: lane-reduce -> reshape -> STORE is the one
+                # relayout Mosaic lowers (the pre-rowt kernel's proven
+                # pattern); accumulating the lane-reduced values with a
+                # canonical zeros init instead poisons the layout
+                # ("Invalid relayout: ... replicated in destination",
+                # found live 2026-08-20 — passes interpret either way).
+                # The final cross-chunk sum is a canonical sublane
+                # reduce over the ref read.
+                for j in range(nchunks):
+                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
+                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
+                    yrc = yscr_r[0:1, j * rc:(j + 1) * rc]
+                    yic = yscr_i[0:1, j * rc:(j + 1) * rc]
+                    pscr_r[j:j + 1, :] = jnp.sum(
+                        Art * yrc + Ait * yic, axis=1).reshape(1, n)
+                    pscr_i[j:j + 1, :] = jnp.sum(
+                        Art * yic - Ait * yrc, axis=1).reshape(1, n)
+                return (jnp.sum(pscr_r[:], axis=0, keepdims=True),
+                        jnp.sum(pscr_i[:], axis=0, keepdims=True))
+        else:
+            def _mv(u, M, adjoint):
+                """u: (1,rc) adj / (1,n) fwd against an (n,rc) tile."""
+                dims = (((1,), (1,)), ((), ())) if adjoint \
+                    else (((1,), (0,)), ((), ()))
+                return jax.lax.dot_general(
+                    u, M, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_prec)
 
-            def chunk(i, acc):
-                gr_a, gi_a = acc
-                Arc = Ar_ref[pl.ds(i * rc, rc), :]
-                Aic = Ai_ref[pl.ds(i * rc, rc), :]
-                yrc = yscr_r[0:1, pl.ds(i * rc, rc)]
-                yic = yscr_i[0:1, pl.ds(i * rc, rc)]
-                gr_a = gr_a + _mv(yrc, Arc, True) + _mv(yic, Aic, True)
-                gi_a = gi_a + _mv(yic, Arc, True) - _mv(yrc, Aic, True)
+            def fwd(xr, xi):
+                for j in range(nchunks):
+                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
+                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
+                    dscr_r[0:1, j * rc:(j + 1) * rc] = (
+                        _mv(xr, Art, False) - _mv(xi, Ait, False))
+                    dscr_i[0:1, j * rc:(j + 1) * rc] = (
+                        _mv(xi, Art, False) + _mv(xr, Ait, False))
+                return dscr_r[:], dscr_i[:]
+
+            def adj(yr, yi):
+                yscr_r[:] = yr
+                yscr_i[:] = yi
+                gr_a = jnp.zeros((1, n), jnp.float32)
+                gi_a = jnp.zeros((1, n), jnp.float32)
+                for j in range(nchunks):
+                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
+                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
+                    yrc = yscr_r[0:1, j * rc:(j + 1) * rc]
+                    yic = yscr_i[0:1, j * rc:(j + 1) * rc]
+                    gr_a = gr_a + _mv(yrc, Art, True) + _mv(yic, Ait, True)
+                    gi_a = gi_a + _mv(yic, Art, True) - _mv(yrc, Ait, True)
                 return gr_a, gi_a
-            return jax.lax.fori_loop(
-                0, nchunks, chunk,
-                (jnp.zeros((1, n), jnp.float32),
-                 jnp.zeros((1, n), jnp.float32)))
 
         def hinge(dr, di):
             """(f, ℓr, ℓi): PhaseMax hinge value + elementwise grad."""
@@ -464,8 +518,8 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b (1,m)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # c (2,n)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # scalars
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # Ar (m,n)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # Ai (m,n)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # Arᵀ (n,m)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # Aiᵀ (n,m)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x (2,n)
@@ -488,6 +542,10 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             pltpu.VMEM((1, m), jnp.float32),    # di assembly row
             pltpu.VMEM((1, m), jnp.float32),    # adj yr staging row
             pltpu.VMEM((1, m), jnp.float32),    # adj yi staging row
+            pltpu.VMEM((max(m // (_row_chunk(m) or m), 1), n),
+                       jnp.float32),            # adj gr chunk partials
+            pltpu.VMEM((max(m // (_row_chunk(m) or m), 1), n),
+                       jnp.float32),            # adj gi chunk partials
         ],
         compiler_params=pltpu.CompilerParams(
             # both channel windows pinned once + chunked-matvec
@@ -496,7 +554,11 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                  2 * m * n * 4 + (32 << 20)),
         ),
         interpret=interpret,
-    )(x0.T.reshape(2, n), b.reshape(1, m), c.T.reshape(2, n), ts, Ar, Ai)
+        # the kernel consumes TRANSPOSED (n, m) channel windows (see
+        # fwd/adj above); the one-time XLA transposes cost two HBM
+        # passes per launch, amortized over the whole solve
+    )(x0.T.reshape(2, n), b.reshape(1, m), c.T.reshape(2, n), ts,
+      Ar.T, Ai.T)
     out = (x.T, taus.reshape(kpad)[:max_iters],
            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
     if record_fvals:

@@ -112,7 +112,10 @@ def test_planar_fvals_recorded():
     pr.tau0 = 0.02
     rx = pr.solve(tol=1e-12, max_iters=K, fuse=False,
                   precision="standard", stop_rule="iterations")
-    np.testing.assert_allclose(r.fvals[:K], rx.fvals[:K], rtol=1e-4)
+    # plain-f32 trajectories: the transposed-storage matvecs (rowt,
+    # 2026-08-20) associate the channel sums differently from the XLA
+    # path, and BB feedback amplifies the ulps over iterations
+    np.testing.assert_allclose(r.fvals[:K], rx.fvals[:K], rtol=2e-3)
 
 
 def test_sweep_with_residual_rule_and_fvals():
