@@ -154,6 +154,64 @@ def main():
             f"{plan.path}, measured winner {measured_best} — re-tune "
             f"serving.BATCH_CROSSOVER_UNKNOWNS")
 
+    # ---- planar PhaseMax flagship serving (16384x256) ------------------
+    # New row 2026-08-20: the rowt kernel cut the single solve to
+    # ~2.4 ms — measure the batch paths at the flagship shape (n=512
+    # unknowns, far below the TV-derived crossover, where the regime
+    # map currently predicts the vmapped XLA batch solver).
+    from fasta_tpu.kernels.microsolver_planar import \
+        microsolve_planar_phasemax
+    from fasta_tpu.terms import PlanarPhaseHinge
+
+    ppr = problems.build("phase_retrieval", planar=True,
+                         dtype=jnp.float32)
+    Bp = 4 if quick else 16
+    mi_p = 300
+    bp = jnp.asarray(ppr.fterm.b, jnp.float32)
+    bsp = jnp.stack([bp * (1.0 + 0.002 * i) for i in range(Bp)])
+    x0p = jnp.asarray(ppr.x0, jnp.float32)
+    x0ps = jnp.stack([x0p] * Bp)
+    Arp = jnp.asarray(ppr.op.Ar, jnp.float32)
+    Aip = jnp.asarray(ppr.op.Ai, jnp.float32)
+    cp = jnp.asarray(ppr.gterm.c, jnp.float32)
+
+    def run_bp():
+        out = jax.vmap(
+            lambda bi, xi: microsolve_planar_phasemax(
+                Arp, Aip, bi, cp, xi, 1.0, max_iters=mi_p, tol=1e-5,
+                hp=True))(bsp, x0ps)
+        return out[3]                       # iteration counts
+    ksp = np.asarray(run_bp())
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run_bp())
+        best = min(best, time.perf_counter() - t0)
+    wbp = max(best - rtt, 1e-9)
+    print(f"pr16384 batch x{Bp} microsolver: {wbp*1e3:8.1f} ms = "
+          f"{wbp/Bp*1e3:6.2f} ms/solve ({Bp/wbp:5.0f} solves/s); "
+          f"iters {ksp.min()}..{ksp.max()}")
+
+    opts_p = FastaOptions(max_iters=mi_p, tol=1e-5, adaptive=True,
+                          backtrack=True, precision="standard")
+    batchp = make_batch_solver(
+        opts_p, in_axes=(None, PlanarPhaseHinge(0), None, 0, None))
+    wp, op_ = _timed(lambda: batchp(ppr.op, PlanarPhaseHinge(bsp),
+                                    ppr.gterm, x0ps,
+                                    jnp.asarray(1.0, jnp.float32)), rtt)
+    ksx = np.asarray(op_.iteration_count)
+    print(f"pr16384 batch x{Bp} vmapped solver: {wp*1e3:8.1f} ms = "
+          f"{wp/Bp*1e3:6.2f} ms/solve ({Bp/wp:5.0f} solves/s); "
+          f"iters {ksx.min()}..{ksx.max()}")
+
+    from fasta_tpu import recommend_path as _rp
+    planp = _rp(ppr, Bp)
+    measured_p = ("microsolve_batch" if wbp / Bp < wp / Bp
+                  else "batch_solver")
+    tagp = "OK" if planp.path == measured_p else "MISMATCH"
+    print(f"pr16384 recommend_path(batch={Bp}) -> {planp.path} "
+          f"[measured winner: {measured_p}] {tagp}")
+
 
 if __name__ == "__main__":
     main()
