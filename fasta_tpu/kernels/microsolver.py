@@ -128,10 +128,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         # (B,2) SMEM operand gets a (1,2) block whose second-to-last
         # dim violates Mosaic's block rule (caught on hardware,
         # 2026-08-19 — passes interpret); (B,1,2) with a full (1,2)
-        # trailing block lowers.  Under warm_sweep the same (1,2)
-        # layout arrives as a per-grid-step block of the (B,1,2) path
-        # table.
-        mu = ts_ref[0, 0, 1] if warm_sweep else ts_ref[0, 1]
+        # trailing block lowers.  Under warm_sweep the (B,1,2) path
+        # table arrives with the leading dim None-squeezed off the
+        # block, so the ref is the same (1,2) either way.
+        mu = ts_ref[0, 1]
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
         # Per-iteration recording is O(1): a (1,128) accumulator row in
         # the carry, flushed to the (kpad//128, 128) output ref at
@@ -256,11 +256,11 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             i = pl.program_id(0)
             x0 = jnp.where(i > 0, xprev_scr[:], x0_ref[:])
             if accelerate:
-                tau0 = ts_ref[0, 0, 0]
+                tau0 = ts_ref[0, 0]
             else:
                 tprev = tprev_scr[0, 0]
                 tau0 = jnp.where((i > 0) & (tprev > 0.0), tprev,
-                                 ts_ref[0, 0, 0])
+                                 ts_ref[0, 0])
         else:
             x0 = x0_ref[:]                 # (1, n)
             tau0 = ts_ref[0, 0]
@@ -662,9 +662,17 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
     ts = jnp.stack([jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
                     jnp.asarray(mus, jnp.float32)],
                    axis=-1).reshape(B, 1, 2)
-    rows_spec = pl.BlockSpec((kpad // 128, 128), lambda i: (i, 0),
+    # Per-path-point outputs are 3-D (B, ...) arrays whose LEADING dim
+    # is None-squeezed out of the block: Mosaic requires the trailing
+    # two block dims be (divisible by (8, 128) | equal to the array
+    # dims) — a (1, n) block on a (B, n) array violates that on
+    # hardware (interpret accepts it; found live 2026-08-20).  With the
+    # squeeze the kernel refs keep the exact 2-D shapes of the
+    # single-solve kernel, so one body serves both entry points.
+    rows_spec = pl.BlockSpec((None, kpad // 128, 128),
+                             lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    rows_shape = jax.ShapeDtypeStruct((B * (kpad // 128), 128),
+    rows_shape = jax.ShapeDtypeStruct((B, kpad // 128, 128),
                                       jnp.float32)
     x, taus, res, fv, k, conv = pl.pallas_call(
         kern,
@@ -674,29 +682,29 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                          memory_space=pltpu.VMEM),          # x0 row
             pl.BlockSpec((1, m), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # b row
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),          # (tau0, mu)_i
             pl.BlockSpec((m, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # A (pinned)
         ],
         out_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0),
+            pl.BlockSpec((None, 1, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),          # x_i
             rows_spec,                                      # taus_i
             rows_spec,                                      # res_i
             rows_spec,                                      # fvals_i
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),          # k_i
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),          # conv_i
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
             rows_shape,
             rows_shape,
             rows_shape,
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, n), jnp.float32),    # warm x carry
@@ -707,7 +715,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
         ),
         interpret=interpret,
     )(x0.reshape(1, n), b.reshape(1, m), ts, A)
-    out = (x, taus.reshape(B, kpad)[:, :max_iters],
+    out = (x.reshape(B, n), taus.reshape(B, kpad)[:, :max_iters],
            res.reshape(B, kpad)[:, :max_iters], k.reshape(B),
            conv.reshape(B) > 0)
     if record_fvals:
