@@ -46,8 +46,9 @@ follows the two measured regimes:
   An earlier "0.41 ms / 3.2×" record is RETRACTED (the independent
   K=10 evals did not serialize the A reads; 3.2× would imply 153% of
   roofline — the one-read-vs-two-read ceiling is ≤2×).  In the full
-  adaptive solver loop: 1,125 it/s vs 631 (**1.78×** 2026-08-17,
-  RTT-amortized — the loop adds elementwise + decision-scalar passes).
+  adaptive solver loop: 1,340 it/s vs 689 (**1.95×** live 2026-08-20,
+  hw_validate [13] — the loop adds elementwise + decision-scalar
+  passes).
   Default ON here (``supports_fusion`` auto mode).
 * **VMEM-resident (the 1000×2000 baseline, 8 MB)** — single-GEMV
   formulations measure 13.2–14.6 µs/pass (590–620 GB/s VMEM-read
@@ -103,8 +104,8 @@ def pallas_mode() -> str:
     "1" → on everywhere supported; "0" → off; unset/"auto" → on only in
     the HBM-streaming regime (A beyond VMEM residency), where the
     one-read pass measured 2.00× XLA's two-pass gradmap (0.70 vs
-    1.40 ms/eval, live 2026-08-19) / 1.78× the full solve
-    (RTT-amortized, 2026-08-17) — and off at VMEM-resident sizes,
+    1.40 ms/eval, live 2026-08-19) / 1.95× the full solve
+    (in-session re-pair, 2026-08-20) — and off at VMEM-resident sizes,
     where XLA sits near the in-kernel per-pass rate and the single-row
     GEMV kernel loses (the whole-solve MICROsolver wins there instead,
     via the explicit `fasta_tpu.microsolve` dispatch)."""
