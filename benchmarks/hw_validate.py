@@ -496,10 +496,39 @@ for i, mu_ in enumerate(np.asarray(mus12)):
                     + mu_ * jnp.sum(jnp.abs(x_c)))
         assert abs(f_ - f_c) <= 1e-4 * (1.0 + abs(f_c)), (i, f_, f_c)
 ww, cc = int(np.sum(rw.iteration_counts)), int(np.sum(rc_.iteration_counts))
+
+# TV warm mu-path (same continuation kernel mechanics, distinct
+# lowering: grid-persistent (h,w) VMEM scratch + field outputs).
+# Contract on chip: point 0 bit-matches the cold sweep's point 0, all
+# points converge, objectives match the cold sweep per mu.
+tv12 = problems.build("tv", h=64, w=64)
+tvmus = jnp.asarray([0.2, 0.1, 0.05], jnp.float32)
+# tol=1e-4: at 64x64 f32 the mu=0.2 residual plateaus ~1.1e-5 on
+# chip (warm AND cold identically) — 1e-5 is below the f32 floor for
+# this config
+rtw = microsolve_sweep(tv12, tvmus, tau0=2.0, max_iters=2000, tol=1e-4,
+                       stop_rule="residual", warm_start=True)
+rtc = microsolve_sweep(tv12, tvmus, tau0=2.0, max_iters=2000, tol=1e-4,
+                       stop_rule="residual")
+assert rtw.converged.all() and rtc.converged.all()
+assert rtw.iteration_counts[0] == rtc.iteration_counts[0]
+np.testing.assert_array_equal(np.asarray(rtw.solutions[0]),
+                              np.asarray(rtc.solutions[0]))
+btv = jnp.asarray(tv12.fterm.b, jnp.float32)
+for i, mu_ in enumerate(np.asarray(tvmus)):
+    dw = float(tv12.fterm.value(
+        mu_ * tv12.op.op(jnp.asarray(rtw.solutions[i]))))
+    dc = float(tv12.fterm.value(
+        mu_ * tv12.op.op(jnp.asarray(rtc.solutions[i]))))
+    assert abs(dw - dc) <= 1e-3 * (1.0 + abs(dc)), (i, dw, dc)
+twv, tcv = int(np.sum(rtw.iteration_counts)), int(np.sum(rtc.iteration_counts))
+
 print(f"[12] round-4 features HW: residual-rule fvals match XLA "
       f"(10-iter rtol 1e-3); heterogeneous-tau0 batch bit-matches "
       f"separate launches; warm mu-path {ww} total iters vs cold {cc} "
-      f"(objectives match per mu)")
+      f"(objectives match per mu); TV warm path point-0 bit-match + "
+      f"objectives match ({twv} vs {tcv} total iters — no-win finding "
+      f"per microsolve_tv_path docstring)")
 
 # ---- 13. full-solve STREAMING rows (512 MB, current session) --------------
 # Round-3 VERDICT missing #1: the quoted full-solve streaming numbers

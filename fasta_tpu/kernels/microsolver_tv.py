@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["microsolve_tv"]
+__all__ = ["microsolve_tv", "microsolve_tv_path"]
 
 _WPAD = 128
 
@@ -34,15 +34,22 @@ _WPAD = 128
 def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
                  restart_dd=False, stop_rule="hybrid_residual",
-                 record_fvals=False):
+                 record_fvals=False, warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows, dd_reduce
     from .microsolver import stop_from_rule
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
+    # warm_sweep: explicit sequential grid over denoising strengths
+    # (microsolve_tv_path) — step i>0 starts from step i-1's dual field
+    # and last accepted stepsize via grid-persistent VMEM/SMEM scratch,
+    # exactly the dense kernel's continuation recipe
+    # (kernels/microsolver.py warm_sweep notes).
 
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
                xv_ref, xh_ref, taus_ref, res_ref, fv_ref, k_ref,
-               conv_ref):
+               conv_ref, *scr):
+        if warm_sweep:
+            pvprev_scr, phprev_scr, tprev_scr = scr
         b = b_ref[:]
         # the TV weight μ is a RUNTIME SMEM scalar (ts_ref[0,1]) — one
         # executable per option set serves every μ; vmap over it solves
@@ -122,9 +129,27 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         def f_hi(f):
             return f.hi if hp else f
 
-        pv0 = pv_ref[:]
-        ph0 = ph_ref[:]
-        tau0 = ts_ref[0, 0]
+        if warm_sweep:
+            # step i>0 continues from step i-1's dual field (scratch
+            # reads are garbage at step 0, fully masked by the selects).
+            # tau continuation is mode-dependent (solve_path rule, see
+            # kernels/microsolver.py): adaptive BB re-estimates from the
+            # first secant so a warm carry is safe; FISTA's tau is
+            # monotone non-increasing, so accelerate warm-starts the
+            # field ONLY and resets tau to the caller's tau0.
+            i = pl.program_id(0)
+            pv0 = jnp.where(i > 0, pvprev_scr[:], pv_ref[:])
+            ph0 = jnp.where(i > 0, phprev_scr[:], ph_ref[:])
+            if accelerate:
+                tau0 = ts_ref[0, 0]
+            else:
+                tprev = tprev_scr[0, 0]
+                tau0 = jnp.where((i > 0) & (tprev > 0.0), tprev,
+                                 ts_ref[0, 0])
+        else:
+            pv0 = pv_ref[:]
+            ph0 = ph_ref[:]
+            tau0 = ts_ref[0, 0]
         if accelerate:
             d0 = fwd(pv0, ph0)
             f0 = fof(d0)
@@ -196,7 +221,10 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             out = jax.lax.while_loop(
                 bt_cond, bt_body,
                 (tau,) + first + (jnp.zeros((), jnp.int32),))
-            return out[:-1]               # drop the trial counter
+            # the trial counter stays in the return so warm_sweep can
+            # tell a genuinely ACCEPTED stepsize from a forced one
+            # (see kernels/microsolver.py backtrack note)
+            return out
 
         def resid_stop(tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c,
                        maxres_c):
@@ -219,6 +247,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
 
         if accelerate:
             def body(c):
+                if warm_sweep:
+                    *c, _tacc_c = c
                 if record_fvals:
                     *c, frow_c = c
                 else:
@@ -241,7 +271,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 tau = tau_c
                 first = fb(tau)
                 M = window_max(fwin_c, fwlo_c)
-                (tau, zv, zh, xv, xh, dv, dh, f1, d1) = backtrack(
+                (tau, zv, zh, xv, xh, dv, dh, f1, d1, bt) = backtrack(
                     fb, first, tau, gv_c, gh_c, M)
 
                 _nd2, res, maxres, stop = resid_stop(
@@ -288,6 +318,11 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                        alpha1)
                 if record_fvals:
                     out += (record_f(k, f_plain(f_rec), frow_c),)
+                if warm_sweep:
+                    # genuinely ACCEPTED stepsize only (see the dense
+                    # kernel's accelerate body note)
+                    out += (jnp.where(bt < max_backtracks, tau,
+                                      _tacc_c),)
                 return out
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
@@ -298,20 +333,34 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                     pv0, ph0, d0, jnp.asarray(1.0, jnp.float32))
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
+            if warm_sweep:
+                init += (jnp.zeros((), jnp.float32),)
+            fin = jax.lax.while_loop(cond, body, init)
             (k, stop, yv_f, yh_f, _gv, _gh, _tau, _fw, _fwlo, _mr,
-             _tr, _rr, xav_f, xah_f, _d, _a) = jax.lax.while_loop(
-                cond, body, init)[:16]
+             _tr, _rr, xav_f, xah_f, _d, _a) = fin[:16]
 
             # a converged stop exits at the prox iterate; max-iters
             # exhaustion returns the extrapolated point (oracle break
             # semantics, solver.py solution select)
-            xv_ref[:] = jnp.where(stop, xav_f, yv_f)
-            xh_ref[:] = jnp.where(stop, xah_f, yh_f)
+            solv = jnp.where(stop, xav_f, yv_f)
+            solh = jnp.where(stop, xah_f, yh_f)
+            xv_ref[:] = solv
+            xh_ref[:] = solh
             k_ref[0, 0] = k
             conv_ref[0, 0] = stop.astype(jnp.int32)
+            if warm_sweep:
+                tau_acc = fin[-1]
+                pvprev_scr[:] = solv
+                phprev_scr[:] = solh
+                # solve_path's degenerate guard: keep the caller tau
+                # when the solve died at 0 iterations / dead stepsize
+                tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
+                                            tau_acc, tau0)
             return
 
         def body(c):
+            if warm_sweep:
+                *c, _tacc_c = c
             if record_fvals:
                 *c, frow_c = c
             else:
@@ -332,7 +381,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             tau = tau_c
             first = fb(tau)
             M = window_max(fwin_c, fwlo_c)
-            (tau, zv, zh, xv, xh, dv, dh, f1, gv1, gh1) = backtrack(
+            (tau, zv, zh, xv, xh, dv, dh, f1, gv1, gh1, bt) = backtrack(
                 fb, first, tau, gv_c, gh_c, M)
 
             nd2, res, maxres, stop = resid_stop(
@@ -363,6 +412,9 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                    fwlo_n, maxres, trow_n, rrow_n)
             if record_fvals:
                 out += (record_f(k, f_plain(f1), frow_c),)
+            if warm_sweep:
+                # genuinely accepted only — see the accelerate body
+                out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
             return out
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
@@ -372,13 +424,22 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 jnp.zeros((1, 128), jnp.float32))
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
+        if warm_sweep:
+            init += (jnp.zeros((), jnp.float32),)
+        fin = jax.lax.while_loop(cond, body, init)
         (k, stop, xv_f, xh_f, _gv, _gh, _tau, _fw, _fwlo, _mr, _tr,
-         _rr) = jax.lax.while_loop(cond, body, init)[:12]
+         _rr) = fin[:12]
 
         xv_ref[:] = xv_f
         xh_ref[:] = xh_f
         k_ref[0, 0] = k
         conv_ref[0, 0] = stop.astype(jnp.int32)
+        if warm_sweep:
+            tau_acc = fin[-1]
+            pvprev_scr[:] = xv_f
+            phprev_scr[:] = xh_f
+            tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
+                                        tau_acc, tau0)
 
     return kernel
 
@@ -471,4 +532,120 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
     if record_fvals:
         out += (fv.reshape(kpad)[:max_iters],)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "window", "tol", "shrink_factor",
+                     "max_backtracks", "interpret", "hp", "accelerate",
+                     "restart", "restart_dd", "stop_rule",
+                     "record_fvals"))
+def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
+                       tol=1e-5, shrink_factor=0.2, max_backtracks=20,
+                       interpret=False, hp=True, accelerate=False,
+                       restart=True, restart_dd=False,
+                       stop_rule="hybrid_residual", record_fvals=False):
+    """WARM-STARTED denoising-strength path in ONE kernel launch: an
+    explicit sequential grid over the B entries of ``mus`` where path
+    point i starts from point i-1's dual field and last accepted
+    stepsize — the TV analog of ``microsolve_lasso_path``
+    (kernels/microsolver.py), with the noisy image b pinned in VMEM
+    across ALL path points and iterations.  The carry rides
+    grid-persistent VMEM/SMEM scratch (TPU grid steps execute
+    back-to-back on one core).
+
+    Contrast the cold sweep (``microsolve_sweep`` without
+    ``warm_start``): that vmaps independent solves over μ.  MEASURED
+    FINDING (2026-08-20, 32×32, tol=1e-5): unlike the LASSO primal
+    path (1.6× fewer total iterations), the TV DUAL gains nothing
+    from warm continuation — coarse 3-point paths run ~8% MORE total
+    iterations warm (988 vs 918 adaptive; FISTA and weak-first
+    orderings similar), fine 6-point paths are a wash (2632 vs 2646),
+    and the rescaled-dual carry clip(p·μ_{i-1}/μ_i) is worse still
+    (1061).  The dual field scales ~1/μ with a μ-dependent active
+    set, and the default init is already near-optimal at weak μ.  The
+    cold sweep (grid-parallel, bit-matching per-μ launches) remains
+    the recommended TV path; this entry exists for API parity and for
+    workloads whose x0 is far from the default.  Prefer
+    ``stop_rule="residual"`` — the hybrid rule's max-residual
+    normalization tightens under warm starts (solve_path note,
+    solver.py).
+
+    Returns (ps: (B,2,H,W), taus: (B,max_iters), residuals:
+    (B,max_iters), ks: (B,), converged: (B,)) — plus fvals
+    (B,max_iters) when ``record_fvals``.
+    """
+    from .microsolver import check_stop_rule
+    check_stop_rule(stop_rule)
+    h, w = b.shape
+    B = mus.shape[0]
+    kpad = ((max_iters + 127) // 128) * 128
+    kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
+                        max_backtracks, kpad, hp, accelerate, restart,
+                        restart_dd, stop_rule, record_fvals,
+                        warm_sweep=True)
+    ts = jnp.stack(
+        [jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
+         jnp.asarray(mus, jnp.float32)], axis=-1).reshape(B, 1, 2)
+    # leading path-point dims are None-squeezed out of every block so
+    # the kernel refs keep the single-solve kernel's exact 2-D shapes
+    # (Mosaic's trailing-block-divisibility rule — see
+    # microsolve_lasso_path's spec note; found on hardware 2026-08-20)
+    rows_spec = pl.BlockSpec((None, kpad // 128, 128),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    rows_shape = jax.ShapeDtypeStruct((B, kpad // 128, 128),
+                                      jnp.float32)
+    field_spec = pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    xv, xh, taus, res, fv, k, conv = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((h, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),       # b (pinned)
+            pl.BlockSpec((None, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),       # (tau0, mu)_i
+            pl.BlockSpec((h, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),       # pv0
+            pl.BlockSpec((h, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),       # ph0
+        ],
+        out_specs=[
+            field_spec,                                  # pv_i
+            field_spec,                                  # ph_i
+            rows_spec,                                   # taus_i
+            rows_spec,                                   # res_i
+            rows_spec,                                   # fvals_i
+            scal_spec,                                   # k_i
+            scal_spec,                                   # conv_i
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            rows_shape,
+            rows_shape,
+            rows_shape,
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.float32),    # warm pv carry
+            pltpu.VMEM((h, w), jnp.float32),    # warm ph carry
+            pltpu.SMEM((1, 1), jnp.float32),    # warm tau carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 << 20, 48 * h * w * 4 + (16 << 20)),
+        ),
+        interpret=interpret,
+    )(b, ts, p0[0], p0[1])
+    ps = jnp.stack([xv, xh], axis=1)             # (B, 2, H, W)
+    out = (ps, taus.reshape(B, kpad)[:, :max_iters],
+           res.reshape(B, kpad)[:, :max_iters], k.reshape(B),
+           conv.reshape(B) > 0)
+    if record_fvals:
+        out += (fv.reshape(B, kpad)[:, :max_iters],)
     return out

@@ -384,7 +384,7 @@ def microsolve_sweep(problem: Problem, mus,
     are bit-identical to per-μ :func:`microsolve` calls (tested) — use
     this when path points are independent (cross-validation).
 
-    ``warm_start=True`` (dense problems) instead runs
+    ``warm_start=True`` (dense AND TV problems) instead runs
     :func:`~fasta_tpu.solver.solve_path`'s continuation recipe
     in-kernel: path point i starts from point i-1's solution and last
     accepted stepsize, carried across the sequential grid steps in
@@ -392,7 +392,11 @@ def microsolve_sweep(problem: Problem, mus,
     ``stop_rule="residual"`` (the hybrid rule's max-residual
     normalization tightens under warm starts; solve_path note).
     Measured on the LASSO μ-path: ~1.6× fewer total iterations than
-    the cold sweep (tests/unit/test_micro_warm_path.py).
+    the cold sweep; on the chip, 77 vs 128 (hw_validate [12];
+    tests/unit/test_micro_warm_path.py).  On the TV DUAL the warm
+    carry measured NO win (the dual field scales ~1/μ — see
+    microsolve_tv_path's measured-finding note); keep the cold sweep
+    for TV unless your x0 is far from the default.
 
     PhaseMax problems have no penalty weight — raises ``ValueError``.
     """
@@ -433,11 +437,27 @@ def microsolve_sweep(problem: Problem, mus,
     B = mus.shape[0]
 
     if warm_start:
-        if kind != "dense":
-            raise ValueError(
-                "microsolve_sweep: warm_start=True is implemented for "
-                "dense problems (the TV sweep remains cold-start — use "
-                "solve_path for a warm TV continuation)")
+        if kind == "tv":
+            from .kernels.microsolver_tv import microsolve_tv_path
+            if engine is not None:
+                raise ValueError("engine selects the dense/planar "
+                                 "kernels' matvec formulation; the TV "
+                                 "stencil kernel has none — omit it "
+                                 "for TV problems")
+            t0 = time.perf_counter()
+            out = microsolve_tv_path(
+                jnp.asarray(problem.fterm.b, jnp.float32),
+                jnp.asarray(problem.x0, jnp.float32),
+                jnp.asarray(tau0, jnp.float32), mus,
+                max_iters=max_iters, window=window, tol=tol,
+                shrink_factor=shrink_factor,
+                max_backtracks=max_backtracks, interpret=interpret,
+                hp=(True if hp is None else hp), accelerate=accelerate,
+                restart=restart, restart_dd=restart_dd,
+                stop_rule=stop_rule, record_fvals=record_fvals)
+            sols, taus, res, ks, convs = out[:5]
+            fvs = out[5] if record_fvals else None
+            return _pack_batch(sols, taus, res, ks, convs, fvs, B, t0)
         from .kernels.microsolver import microsolve_lasso_path
         loss, prox, _mu0 = detail
         A = jnp.asarray(problem.op.A, jnp.float32)
