@@ -134,12 +134,9 @@ def main():
     tx = _t(lambda: solve(*argsp))
     print(f"planar-pr: micro {PR_ITERS/tm:.0f} it/s | xla "
           f"{PR_ITERS/tx:.0f} it/s ({tx/tm:.2f}x)", flush=True)
-    for eng in ("mxu",):
-        te = _t(lambda: microsolve_planar_phasemax(
-            Ar, Ai, bp, cp, xp0, 1.0, max_iters=PR_ITERS, tol=0.0,
-            engine=eng))
-        print(f"planar-pr[{eng}]: micro {PR_ITERS/te:.0f} it/s "
-              f"(vpu default is {te/tm:.2f}x this)", flush=True)
+    # (no planar engine A/B since 2026-08-20: the kernel is VPU-only —
+    # the MXU variant measured 1.44x slower round-3 and exceeds scoped
+    # VMEM under the rowt transposed storage)
 
     def pr_conv(kw, mi):
         def run():

@@ -73,9 +73,14 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     from .microsolver import stop_from_rule
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
 
-    # engine semantics shared with kernels/microsolver.py: "vpu"
-    # default, "mxu" = HIGHEST dot_general (Mosaic has no HIGH
-    # lowering, so no bf16x3 tier).  The VPU formulation works on
+    # The planar kernel is VPU-ONLY since the rowt rewrite (the dense
+    # kernel keeps its selectable "mxu" engine): the HIGHEST
+    # dot_general A/B variant measured 1.44x SLOWER than the VPU
+    # formulation in round 3, and under transposed storage its 6-pass
+    # matvec temporaries no longer fit scoped VMEM at the flagship
+    # size (AOT OOM: 71.6 MB wanted at a 64 MB limit, growing to
+    # 107 MB when given 80 — measured live 2026-08-20).  The VPU
+    # formulation works on
     # TRANSPOSED (n, m) channel windows — see fwd/adj below and
     # benchmarks/planar_matvec_probe.py (2026-08-20): the original
     # (m, n) row-chunked broadcast-reduce paid a lane<->sublane
@@ -88,7 +93,6 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     # fast row layout) and the adj is a lane-reduce into an (n, 1)
     # column; only four n-element transposes remain per pair:
     # 23.0 us/pair = 2.9 TB/s implied, 3.3x.
-    mxu_prec = jax.lax.Precision.HIGHEST
 
     # Lane-chunked matvecs: materializing the full channel matrices as
     # VALUES forces Mosaic to keep them live in vregs — at the
@@ -151,82 +155,47 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         # are the supported idiom).  Chunk loops are UNROLLED (static
         # slices): the fori_loop + pl.ds version measured ~4% slower
         # (planar_matvec_probe col vs colu, 2026-08-20).
-        if engine == "vpu":
-            def fwd(xr, xi):
-                """(dr, di) = planar A x on (1,n) channel rows → (1,m)
-                rows: sublane-reduce over the transposed (n, rc) lane
-                chunks — the (1, rc) results are ROW-natural."""
-                xrc = xr.reshape(n, 1)         # n-element transposes
-                xic = xi.reshape(n, 1)         # (cheap: n lanes -> col)
-                for j in range(nchunks):
-                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
-                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
-                    dscr_r[0:1, j * rc:(j + 1) * rc] = jnp.sum(
-                        Art * xrc - Ait * xic, axis=0, keepdims=True)
-                    dscr_i[0:1, j * rc:(j + 1) * rc] = jnp.sum(
-                        Art * xic + Ait * xrc, axis=0, keepdims=True)
-                return dscr_r[:], dscr_i[:]
+        def fwd(xr, xi):
+            """(dr, di) = planar A x on (1,n) channel rows → (1,m)
+            rows: sublane-reduce over the transposed (n, rc) lane
+            chunks — the (1, rc) results are ROW-natural."""
+            xrc = xr.reshape(n, 1)         # n-element transposes
+            xic = xi.reshape(n, 1)         # (cheap: n lanes -> col)
+            for j in range(nchunks):
+                Art = Ar_ref[:, j * rc:(j + 1) * rc]
+                Ait = Ai_ref[:, j * rc:(j + 1) * rc]
+                dscr_r[0:1, j * rc:(j + 1) * rc] = jnp.sum(
+                    Art * xrc - Ait * xic, axis=0, keepdims=True)
+                dscr_i[0:1, j * rc:(j + 1) * rc] = jnp.sum(
+                    Art * xic + Ait * xrc, axis=0, keepdims=True)
+            return dscr_r[:], dscr_i[:]
 
-            def adj(yr, yi):
-                """(gr, gi) = planar Aᴴ y → (1,n): lane-reduce over the
-                transposed chunks into (n, 1) columns, one n-element
-                transpose each at the end."""
-                yscr_r[:] = yr
-                yscr_i[:] = yi
-                # Per-chunk partials go THROUGH the (nchunks, n)
-                # scratch: lane-reduce -> reshape -> STORE is the one
-                # relayout Mosaic lowers (the pre-rowt kernel's proven
-                # pattern); accumulating the lane-reduced values with a
-                # canonical zeros init instead poisons the layout
-                # ("Invalid relayout: ... replicated in destination",
-                # found live 2026-08-20 — passes interpret either way).
-                # The final cross-chunk sum is a canonical sublane
-                # reduce over the ref read.
-                for j in range(nchunks):
-                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
-                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
-                    yrc = yscr_r[0:1, j * rc:(j + 1) * rc]
-                    yic = yscr_i[0:1, j * rc:(j + 1) * rc]
-                    pscr_r[j:j + 1, :] = jnp.sum(
-                        Art * yrc + Ait * yic, axis=1).reshape(1, n)
-                    pscr_i[j:j + 1, :] = jnp.sum(
-                        Art * yic - Ait * yrc, axis=1).reshape(1, n)
-                return (jnp.sum(pscr_r[:], axis=0, keepdims=True),
-                        jnp.sum(pscr_i[:], axis=0, keepdims=True))
-        else:
-            def _mv(u, M, adjoint):
-                """u: (1,rc) adj / (1,n) fwd against an (n,rc) tile."""
-                dims = (((1,), (1,)), ((), ())) if adjoint \
-                    else (((1,), (0,)), ((), ()))
-                return jax.lax.dot_general(
-                    u, M, dimension_numbers=dims,
-                    preferred_element_type=jnp.float32,
-                    precision=mxu_prec)
-
-            def fwd(xr, xi):
-                for j in range(nchunks):
-                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
-                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
-                    dscr_r[0:1, j * rc:(j + 1) * rc] = (
-                        _mv(xr, Art, False) - _mv(xi, Ait, False))
-                    dscr_i[0:1, j * rc:(j + 1) * rc] = (
-                        _mv(xi, Art, False) + _mv(xr, Ait, False))
-                return dscr_r[:], dscr_i[:]
-
-            def adj(yr, yi):
-                yscr_r[:] = yr
-                yscr_i[:] = yi
-                gr_a = jnp.zeros((1, n), jnp.float32)
-                gi_a = jnp.zeros((1, n), jnp.float32)
-                for j in range(nchunks):
-                    Art = Ar_ref[:, j * rc:(j + 1) * rc]
-                    Ait = Ai_ref[:, j * rc:(j + 1) * rc]
-                    yrc = yscr_r[0:1, j * rc:(j + 1) * rc]
-                    yic = yscr_i[0:1, j * rc:(j + 1) * rc]
-                    gr_a = gr_a + _mv(yrc, Art, True) + _mv(yic, Ait, True)
-                    gi_a = gi_a + _mv(yic, Art, True) - _mv(yrc, Ait, True)
-                return gr_a, gi_a
-
+        def adj(yr, yi):
+            """(gr, gi) = planar Aᴴ y → (1,n): lane-reduce over the
+            transposed chunks into (n, 1) columns, one n-element
+            transpose each at the end."""
+            yscr_r[:] = yr
+            yscr_i[:] = yi
+            # Per-chunk partials go THROUGH the (nchunks, n)
+            # scratch: lane-reduce -> reshape -> STORE is the one
+            # relayout Mosaic lowers (the pre-rowt kernel's proven
+            # pattern); accumulating the lane-reduced values with a
+            # canonical zeros init instead poisons the layout
+            # ("Invalid relayout: ... replicated in destination",
+            # found live 2026-08-20 — passes interpret either way).
+            # The final cross-chunk sum is a canonical sublane
+            # reduce over the ref read.
+            for j in range(nchunks):
+                Art = Ar_ref[:, j * rc:(j + 1) * rc]
+                Ait = Ai_ref[:, j * rc:(j + 1) * rc]
+                yrc = yscr_r[0:1, j * rc:(j + 1) * rc]
+                yic = yscr_i[0:1, j * rc:(j + 1) * rc]
+                pscr_r[j:j + 1, :] = jnp.sum(
+                    Art * yrc + Ait * yic, axis=1).reshape(1, n)
+                pscr_i[j:j + 1, :] = jnp.sum(
+                    Art * yic - Ait * yrc, axis=1).reshape(1, n)
+            return (jnp.sum(pscr_r[:], axis=0, keepdims=True),
+                    jnp.sum(pscr_i[:], axis=0, keepdims=True))
         def hinge(dr, di):
             """(f, ℓr, ℓi): PhaseMax hinge value + elementwise grad."""
             mag = jnp.sqrt(dr * dr + di * di)
@@ -501,10 +470,21 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
     planar anchor; x0: (n,2) planar start.  Returns (x: (n,2), taus,
     residuals, iteration_count, converged) — plus fvals when
     ``record_fvals``.  Same option semantics as the dense microsolver
-    (kernels/microsolver.py), including the five C4 ``stop_rule``s.
+    (kernels/microsolver.py), including the five C4 ``stop_rule``s —
+    except ``engine``: the planar kernel is VPU-only since the rowt
+    rewrite (the MXU A/B variant measured 1.44x slower round-3 and its
+    HIGHEST-precision matvec temporaries no longer fit scoped VMEM at
+    the flagship size under transposed storage — AOT OOM measured live
+    2026-08-20); ``engine="mxu"`` raises.
     """
     from .microsolver import check_stop_rule
     check_stop_rule(stop_rule)
+    if engine != "vpu":
+        raise ValueError(
+            f"planar microsolver: engine={engine!r} is not supported — "
+            f"the kernel is VPU-only since the rowt rewrite (the MXU "
+            f"variant was measured slower AND exceeds scoped VMEM at "
+            f"the flagship size; see _make_kernel's note)")
     m, n = Ar.shape
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
@@ -549,7 +529,7 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
         ],
         compiler_params=pltpu.CompilerParams(
             # both channel windows pinned once + chunked-matvec
-            # temporaries (~2 MB live) + headroom for modest spills
+            # temporaries (~2 MB live) + headroom for modest spills.
             vmem_limit_bytes=min(100 << 20,
                                  2 * m * n * 4 + (32 << 20)),
         ),

@@ -174,9 +174,12 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     ``engine`` (dense and planar kernels; defaults to "vpu") picks the
     matvec formulation: "vpu" (broadcast-reduce on the vector units,
     exact f32 — measured 2026-08-19 live: 4.3–8.2× the MXU kernel on
-    LASSO 1000×2000, 1.43× on planar 16384×256; a batch-1 GEMV uses
+    LASSO 1000×2000; a batch-1 GEMV uses
     1/128 of the MXU's rows, so the systolic path is pure latency) or
-    "mxu" (Precision.HIGHEST dot_general).  A bf16x3
+    "mxu" (Precision.HIGHEST dot_general; DENSE kernel only — the
+    planar kernel is VPU-only since the 2026-08-20 rowt rewrite, where
+    the slower MXU variant also stopped fitting scoped VMEM at the
+    flagship size, and raises on engine="mxu").  A bf16x3
     "mxu3" engine was removed 2026-08-19: Mosaic has no lowering for
     Precision.HIGH (it only ever passed in interpret mode), and a
     manual three-product split would need pre-split channel matrices

@@ -19,22 +19,20 @@ def _inst(m=256, n=32):
                   jnp.asarray(prob.x0))
 
 
-@pytest.mark.parametrize("engine", ["mxu", "vpu"])
-def test_planar_microsolver_prefix_matches_xla(engine):
+def test_planar_microsolver_prefix_matches_xla():
     prob, (Ar, Ai, b, c, x0) = _inst()
     K = 12
     x, taus, res, k, conv = microsolve_planar_phasemax(
-        Ar, Ai, b, c, x0, 1.0, max_iters=K, tol=0.0, interpret=True,
-        engine=engine)
+        Ar, Ai, b, c, x0, 1.0, max_iters=K, tol=0.0, interpret=True)
     prob.tau0 = 1.0
     r = prob.solve(tol=1e-12, max_iters=K, fuse=False,
                    stop_rule="iterations", precision="standard")
     # the planar kernel's channel-matmul accumulation order differs
     # from XLA's; the hinge amplifies the ulp noise a little faster
-    # than least squares.  The VPU broadcast-reduce association sits
-    # further from XLA's GEMV than the MXU HIGHEST path does, so its
-    # band over 12 iterations is wider (measured 3e-3 vs 1.3e-4).
-    rt = 5e-4 if engine == "mxu" else 1e-2
+    # than least squares, so the 12-iteration band is wider than the
+    # dense kernel's (measured ~3e-3 for the VPU sublane-reduce
+    # association vs XLA's GEMV).
+    rt = 1e-2
     np.testing.assert_allclose(np.asarray(taus[:K]), r.taus[:K], rtol=rt)
     np.testing.assert_allclose(np.asarray(res[:K]), r.residuals[:K],
                                rtol=rt)
@@ -84,19 +82,27 @@ def test_planar_microsolver_dispatch():
     assert err < 0.05, err
 
 
-@pytest.mark.parametrize("engine", ["mxu", "vpu"])
-def test_planar_microsolver_chunked_matvec_prefix(engine):
+def test_planar_microsolver_chunked_matvec_prefix():
     """m > 2048 engages the row-chunked in-kernel matvec (the fix for
-    the 16384x256 VMEM spill OOM, 2026-08-19): the fori_loop tiled
+    the 16384x256 VMEM spill OOM, 2026-08-19): the tiled
     forward/adjoint must reproduce the single-chunk trajectory."""
     prob, (Ar, Ai, b, c, x0) = _inst(m=4096, n=16)
     K = 6
     x, taus, res, k, conv = microsolve_planar_phasemax(
-        Ar, Ai, b, c, x0, 1.0, max_iters=K, tol=0.0, interpret=True,
-        engine=engine)
+        Ar, Ai, b, c, x0, 1.0, max_iters=K, tol=0.0, interpret=True)
     prob.tau0 = 1.0
     r = prob.solve(tol=1e-12, max_iters=K, fuse=False,
                    stop_rule="iterations", precision="standard")
-    rt = 5e-4 if engine == "mxu" else 1e-2
+    rt = 1e-2
     np.testing.assert_allclose(np.asarray(taus[:K]), r.taus[:K], rtol=rt)
     assert int(k) == K
+
+
+def test_planar_microsolver_rejects_mxu_engine():
+    """VPU-only since the rowt rewrite: the MXU A/B variant measured
+    1.44x slower (round 3) and exceeds scoped VMEM at the flagship
+    size under transposed storage (AOT OOM, live 2026-08-20)."""
+    _prob, (Ar, Ai, b, c, x0) = _inst()
+    with pytest.raises(ValueError, match="VPU-only"):
+        microsolve_planar_phasemax(Ar, Ai, b, c, x0, 1.0, max_iters=4,
+                                   interpret=True, engine="mxu")
