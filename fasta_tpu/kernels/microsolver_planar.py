@@ -69,7 +69,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  restart_dd, engine, stop_rule="hybrid_residual",
                  record_fvals=False):
     from .. import precision as prec
-    from .ddreduce import dd_dot_rows
+    from .ddreduce import dd_dot_rows2
     from .microsolver import stop_from_rule
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
 
@@ -148,7 +148,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             return prec.dd_to_float(f) if hp else f
 
         def dd_dot2(ur, ui, vr, vi):
-            return prec.dd_add(dd_dot_rows(ur, vr), dd_dot_rows(ui, vi))
+            # one fused Sum2 tree over both channels (ddreduce)
+            return dd_dot_rows2(ur, vr, ui, vi)
 
         # Chunk results are assembled through VMEM scratch rows (Mosaic
         # has no dynamic_update_slice lowering for values; ref stores

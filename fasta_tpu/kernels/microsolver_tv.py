@@ -36,7 +36,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                  restart_dd=False, stop_rule="hybrid_residual",
                  record_fvals=False, warm_sweep=False):
     from .. import precision as prec
-    from .ddreduce import dd_dot_rows, dd_reduce
+    from .ddreduce import dd_dot_rows2, dd_reduce
     from .microsolver import stop_from_rule
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
     # warm_sweep: explicit sequential grid over denoising strengths
@@ -95,9 +95,9 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         mcol = (cidx < w - 1).astype(jnp.float32)
 
         def dd_dot2(av, ah, bv, bh):
-            """Re⟨(av,ah),(bv,bh)⟩ over both dual channels in dd
-            (shared vectorized in-kernel reduction: kernels/ddreduce)."""
-            return prec.dd_add(dd_dot_rows(av, bv), dd_dot_rows(ah, bh))
+            """Re⟨(av,ah),(bv,bh)⟩ over both dual channels in dd — one
+            fused Sum2 tree (kernels/ddreduce.dd_dot_rows2)."""
+            return dd_dot_rows2(av, bv, ah, bh)
 
         def fwd(pv, ph):
             """d = μ·div p — the forward stencil (A application)."""
