@@ -557,14 +557,16 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
 
     Contrast the cold sweep (``microsolve_sweep`` without
     ``warm_start``): that vmaps independent solves over μ.  MEASURED
-    FINDING (2026-08-20, 32×32, tol=1e-5): unlike the LASSO primal
-    path (1.6× fewer total iterations), the TV DUAL gains nothing
-    from warm continuation — coarse 3-point paths run ~8% MORE total
-    iterations warm (988 vs 918 adaptive; FISTA and weak-first
-    orderings similar), fine 6-point paths are a wash (2632 vs 2646),
-    and the rescaled-dual carry clip(p·μ_{i-1}/μ_i) is worse still
-    (1061).  The dual field scales ~1/μ with a μ-dependent active
-    set, and the default init is already near-optimal at weak μ.  The
+    FINDING (2026-08-20): unlike the LASSO primal path (1.6× fewer
+    total iterations), the TV DUAL has NO RELIABLE warm-continuation
+    win — measurements scatter within ±10% of cold (32×32 tol=1e-5:
+    coarse 3-point paths ~8% MORE iterations warm, 988 vs 918
+    adaptive, FISTA and weak-first orderings similar, fine 6-point
+    paths a wash 2632 vs 2646; 64×64 tol=1e-4 on chip: 2.7% FEWER,
+    1411 vs 1450, hw_validate [12]), and the rescaled-dual carry
+    clip(p·μ_{i-1}/μ_i) is worse still (1061 vs 918).  The dual field
+    scales ~1/μ with a μ-dependent active set, and the default init
+    is already near-optimal at weak μ.  The
     cold sweep (grid-parallel, bit-matching per-μ launches) remains
     the recommended TV path; this entry exists for API parity and for
     workloads whose x0 is far from the default.  Prefer
