@@ -13,19 +13,23 @@ Accumulation is Sum2-style (Ogita–Rump–Oishi ``TwoSum`` cascade): the
 carry is an UNNORMALIZED ``(s, c)`` pair — per tree level
 ``s, e = two_sum(sa, sb); c = ca + cb + e`` — normalized to a DD once at
 the end.  That is 8 elementwise ops per level-element against the ~20 of
-the previous full-``dd_add`` tree, for an error of ~γ²·Σ|p| with
-γ ≈ log₂(n)·eps — ≈1e-12 relative at n = 512², five orders below the
-f32 ulp the hp decision formulas are defending against (their slack is
-64·eps_f32 ≈ 7.6e-6 relative), and two orders above the full-dd tree's
-~1e-14 that nothing consumes.  Measured on chip (2026-08-20): the
+the previous full-``dd_add`` tree, for a measured error of 0.8–9.2e-10
+of Σ|p| across shapes (interpret-mode vs f64; the old full-dd tree
+measured ~1e-16) — still ~60–4000× below every
+consumer: the f32 ulp is 6e-8, the backtracking sufficient-decrease
+slack is 64·eps_f32 ≈ 7.6e-6 relative, and the f32-stored ITERATES
+already carry eps-level noise into every product.  Exact under total
+cancellation (each two_sum is exact; the ⟨Δx,Δg⟩→0 BB case).
+Convergence parity is the real gate and held everywhere: identical
+1,330-iteration TV 512² FISTA trajectory on chip pre/post switch,
+iteration-count equality vs the XLA hp (full-dd) path in the interpret
+suite, taus rtol 1e-4 on chip.  Measured on chip (2026-08-20): the
 switch cut the TV hp iteration 28.0 → 20.6 µs at 512×512 (the dd trees
 were 2/3 of every hp iteration; FISTA to-tol 32.8 → 26.5 ms at the
 SAME 1,330-iteration trajectory) and the dense hp rate 206.6k → 226.2k
-it/s, with taus matching the XLA hp path rtol 1e-4 on chip.  Host-side
-error check (numpy-emulated tree vs f64): ~1e-16 of Σ|p| random,
-exact under total cancellation, single-ulp f differences resolved to
-0.06% — the interpret-mode iteration-count-equality tests vs the XLA
-hp path are the regression gate.
+it/s, with taus matching the XLA hp path rtol 1e-4 on chip.  Numeric
+pins (error vs f64, total-cancellation exactness, single-ulp f
+resolution): tests/unit/test_ddreduce.py.
 
 Used by ``microsolver_tv.py`` (2-D dual fields), ``microsolver.py``
 ((1, L) row vectors — the sublane stage is a no-op there) and
