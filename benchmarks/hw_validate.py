@@ -563,18 +563,32 @@ else:
     opts13 = FastaOptions(max_iters=ITER13, stop_rule="iterations",
                           adaptive=True, backtrack=True)
     pl13 = problems.build("lasso", m=8192, n=16384, k=400)
-    os.environ["FASTA_TPU_PALLAS"] = "0"
-    off_ips = timed_solve(pl13, opts13, 2e-3)
-    os.environ.pop("FASTA_TPU_PALLAS", None)     # auto -> ON at 512 MB
+    # save/restore any user-exported FASTA_TPU_PALLAS around the
+    # kernel-off timings instead of clobbering it (round-4 ADVICE)
+    _saved_pallas = os.environ.get("FASTA_TPU_PALLAS")
+
+    def _restore_pallas():
+        if _saved_pallas is None:
+            os.environ.pop("FASTA_TPU_PALLAS", None)  # auto -> ON @512MB
+        else:
+            os.environ["FASTA_TPU_PALLAS"] = _saved_pallas
+
+    try:
+        os.environ["FASTA_TPU_PALLAS"] = "0"
+        off_ips = timed_solve(pl13, opts13, 2e-3)
+    finally:
+        _restore_pallas()
     on_ips = timed_solve(pl13, opts13, 2e-3)
     p16 = pl13.with_parts(op=LowPrecDenseOp.from_dense(
         jnp.asarray(pl13.op.A, jnp.float32)))
     bf_ips = timed_solve(p16, opts13, 2e-3)
     del pl13, p16
     plog = problems.build("logistic", m=8192, n=16384, k=400)
-    os.environ["FASTA_TPU_PALLAS"] = "0"
-    log_off = timed_solve(plog, opts13, 2e-3)
-    os.environ.pop("FASTA_TPU_PALLAS", None)
+    try:
+        os.environ["FASTA_TPU_PALLAS"] = "0"
+        log_off = timed_solve(plog, opts13, 2e-3)
+    finally:
+        _restore_pallas()
     log_on = timed_solve(plog, opts13, 2e-3)
     del plog
     print(f"[13] full-solve streaming 8192x16384 ({ITER13} fixed iters, "

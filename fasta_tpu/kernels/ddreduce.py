@@ -18,8 +18,12 @@ of Σ|p| across shapes (interpret-mode vs f64; the old full-dd tree
 measured ~1e-16) — still ~60–4000× below every
 consumer: the f32 ulp is 6e-8, the backtracking sufficient-decrease
 slack is 64·eps_f32 ≈ 7.6e-6 relative, and the f32-stored ITERATES
-already carry eps-level noise into every product.  Exact under total
-cancellation (each two_sum is exact; the ⟨Δx,Δg⟩→0 BB case).
+already carry eps-level noise into every product.  Under total
+cancellation the SUM channel is exact (each two_sum is exact), so a
+fully cancelling ±x sum returns exactly zero when the element pairs
+are exact (e.g. lo parts all zero, the ⟨Δx,Δg⟩→0 BB case with equal
+magnitudes); with inexact products the carry channel is plain-f32
+summation, so the result is O(eps²·Σ|p|), not exact zero.
 Convergence parity is the real gate and held everywhere: identical
 1,330-iteration TV 512² FISTA trajectory on chip pre/post switch,
 iteration-count equality vs the XLA hp (full-dd) path in the interpret

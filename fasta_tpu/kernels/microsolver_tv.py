@@ -349,13 +349,18 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             k_ref[0, 0] = k
             conv_ref[0, 0] = stop.astype(jnp.int32)
             if warm_sweep:
-                tau_acc = fin[-1]
                 pvprev_scr[:] = solv
                 phprev_scr[:] = solh
-                # solve_path's degenerate guard: keep the caller tau
-                # when the solve died at 0 iterations / dead stepsize
-                tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
-                                            tau_acc, tau0)
+                if not accelerate:
+                    # solve_path's degenerate guard: keep the caller tau
+                    # when the solve died at 0 iterations / dead
+                    # stepsize.  FISTA warm sweeps reset tau to the
+                    # caller's tau0 (see the warm_sweep prologue), so
+                    # the tau carry-over store exists only in adaptive
+                    # mode.
+                    tau_acc = fin[-1]
+                    tprev_scr[0, 0] = jnp.where(
+                        (k > 0) & (tau_acc > 0.0), tau_acc, tau0)
             return
 
         def body(c):
@@ -475,8 +480,12 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     decisions can differ from the XLA hp path only when the dot is
     within f32 noise of zero, where the restart choice is genuinely
     ambiguous (convergence regime unaffected; identical iteration
-    counts measured on 64² and 512²).  Pass restart_dd=True to mirror
-    solver.py's dd restart dot bit-for-bit.
+    counts measured on 64² and 512²).  Pass restart_dd=True for the
+    same dd-level accuracy and sign semantics as solver.py's dd restart
+    dot (the in-kernel dot rides the fused Sum2 tree of
+    kernels/ddreduce.py, whose association differs from precision.py's
+    full-dd fold, so the lo word — and in rare near-ties the hi word —
+    can differ by O(eps²); not bit-for-bit).
 
     ``hp`` (default True) runs the decision scalars (f-values/window,
     backtracking dot, BB numerator) in double-word f32 inside the
