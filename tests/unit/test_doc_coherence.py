@@ -67,3 +67,42 @@ def test_retracted_figures_only_appear_with_retraction_context():
         "retracted perf figures published without retraction context "
         "(add the retraction note or purge the number):\n"
         + "\n".join(bad))
+
+
+# ---------------------------------------------------------------------
+# Orphaned oracle denominators (round-4 VERDICT weak #2): every
+# "<N> s" oracle wall quoted next to a speedup must be one of the
+# PINNED walls from BASELINE.md's measured table (lines ~46-53).
+# Round 2 mixed denominators once (25.8 s vs the pinned 21.275 s —
+# a 21% ratio inflation); this grep makes that structurally
+# impossible to repeat.
+
+_PINNED_ORACLE_WALLS = {
+    "21.275",   # TV 512x512 to tol=1e-5
+    "1.373",    # phase retrieval 16384x256 to 1e-6
+    "0.014",    # LASSO 1000x2000 to 1e-6
+    "0.008",    # NNLS to 1e-6
+    "0.058",    # sparse logistic to 1e-6
+    "0.0156",   # LASSO wall-to-1e-8
+}
+_ORACLE_WALL = re.compile(r"oracle[^.\n]{0,60}?(\d+(?:\.\d+)?)\s*s\b")
+
+
+def test_oracle_denominators_are_pinned():
+    bad = []
+    for p in _tracked_text_files():
+        lines = p.read_text(errors="replace").splitlines()
+        for i, line in enumerate(lines):
+            for m in _ORACLE_WALL.finditer(line):
+                if m.group(1) in _PINNED_ORACLE_WALLS:
+                    continue
+                lo = max(0, i - _WINDOW)
+                ctx = "\n".join(lines[lo:i + _WINDOW + 1])
+                if _CONTEXT.search(ctx) or "unpinned" in ctx:
+                    continue
+                bad.append(f"{p.relative_to(REPO)}:{i + 1}: "
+                           f"'{m.group(1)} s' — {line.strip()}")
+    assert not bad, (
+        "oracle wall quoted that is not in BASELINE.md's pinned table "
+        "(recompute the ratio against the pinned wall, or re-pin with "
+        "a named protocol):\n" + "\n".join(bad))
