@@ -62,8 +62,18 @@ def main():
     print(f"# readback barrier: {rtt*1e3:.1f} ms (subtracted below)")
     tau0 = jnp.asarray(2.0, jnp.float32)
 
-    for hw, nbatch in ((64, 16 if quick else 64),
-                       (512, 2 if quick else 8)):
+    # (image side, batch, measure the single-solve rows too?).  The
+    # 128²/256² B=8 rows bracket the batch-path crossover between the
+    # round-4 endpoints 64² (4,096 unknowns, vmapped XLA batch wins)
+    # and 512² (262,144, kernel batch wins) — round-4 VERDICT item 2.
+    if quick:
+        tv_rows = ((64, 16, True), (512, 2, True))
+    else:
+        tv_rows = ((64, 64, True), (128, 8, False), (256, 8, False),
+                   (512, 8, True))
+    crossover_table = []        # (family, unknowns, batch, winner, ratio)
+
+    for hw, nbatch, singles in tv_rows:
         probs = [problems.build("tv", h=hw, w=hw, seed=4 + i)
                  for i in range(nbatch)]
         bs = jnp.stack([p.fterm.b for p in probs])
@@ -71,41 +81,43 @@ def main():
         op, gt = probs[0].op, probs[0].gterm
         mi = 4000 if hw == 512 else 2000
         opts = FastaOptions(max_iters=mi, tol=1e-5)
-
-        solve = make_solver(opts)
-        w, o = _timed(lambda: solve(op, probs[0].fterm, gt, x0s[0], tau0),
-                      rtt)
-        print(f"tv{hw} single XLA hp loop: {w*1e3:8.1f} ms "
-              f"({int(o.iteration_count)} iters)")
-
-        # lean serving mode: no per-iteration recording kernels.  The
-        # completion barrier reads the solution (taus is None).
-        solve_lean = make_solver(opts.replace(record_diagnostics=False))
-
-        def run_lean():
-            return solve_lean(op, probs[0].fterm, gt, x0s[0],
-                              tau0).solution
-        w2, _o2 = _timed(run_lean, rtt)
-        print(f"tv{hw} single XLA hp loop (lean): {w2*1e3:8.1f} ms "
-              f"({w/w2:.2f}x the recorded loop)")
-
         ti = probs[0].instance
-        bb = jnp.asarray(ti["b"], jnp.float32)
-        p0 = jnp.asarray(ti["x0"], jnp.float32)
-        for accel, label in ((False, "adaptive"), (True, "FISTA")):
-            def run(accel=accel):
-                _p, _t, _r, kk, _c = microsolve_tv(
-                    bb, p0, 2.0, ti["mu"], max_iters=mi, tol=1e-5,
-                    hp=True, accelerate=accel)
-                return kk
-            k = int(run())
-            best = 1e9
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(run())
-                best = min(best, time.perf_counter() - t0)
-            print(f"tv{hw} single microsolver {label}: "
-                  f"{max(best-rtt,0)*1e3:8.1f} ms ({k} iters)")
+
+        if singles:
+            solve = make_solver(opts)
+            w, o = _timed(lambda: solve(op, probs[0].fterm, gt, x0s[0],
+                                        tau0), rtt)
+            print(f"tv{hw} single XLA hp loop: {w*1e3:8.1f} ms "
+                  f"({int(o.iteration_count)} iters)")
+
+            # lean serving mode: no per-iteration recording kernels.
+            # The completion barrier reads the solution (taus is None).
+            solve_lean = make_solver(
+                opts.replace(record_diagnostics=False))
+
+            def run_lean():
+                return solve_lean(op, probs[0].fterm, gt, x0s[0],
+                                  tau0).solution
+            w2, _o2 = _timed(run_lean, rtt)
+            print(f"tv{hw} single XLA hp loop (lean): {w2*1e3:8.1f} ms "
+                  f"({w/w2:.2f}x the recorded loop)")
+
+            bb = jnp.asarray(ti["b"], jnp.float32)
+            p0 = jnp.asarray(ti["x0"], jnp.float32)
+            for accel, label in ((False, "adaptive"), (True, "FISTA")):
+                def run(accel=accel):
+                    _p, _t, _r, kk, _c = microsolve_tv(
+                        bb, p0, 2.0, ti["mu"], max_iters=mi, tol=1e-5,
+                        hp=True, accelerate=accel)
+                    return kk
+                k = int(run())
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(run())
+                    best = min(best, time.perf_counter() - t0)
+                print(f"tv{hw} single microsolver {label}: "
+                      f"{max(best-rtt,0)*1e3:8.1f} ms ({k} iters)")
 
         batch = make_batch_solver(
             opts, in_axes=(None, LeastSquares(0), None, 0, None))
@@ -144,9 +156,13 @@ def main():
         plan = recommend_path(probs[0], nbatch)
         measured_best = ("microsolve_batch" if wb / nbatch < w / nbatch
                          else "batch_solver")
+        ratio = (w / wb) if measured_best == "microsolve_batch" \
+            else (wb / w)
+        crossover_table.append((f"tv{hw}", hw * hw, nbatch,
+                                measured_best, ratio))
         tag = "OK" if plan.path == measured_best else "MISMATCH"
         print(f"tv{hw} recommend_path(batch={nbatch}) -> {plan.path} "
-              f"[measured winner: {measured_best}] {tag}")
+              f"[measured winner: {measured_best} by {ratio:.2f}x] {tag}")
         # --quick shrinks the batches below the measured configs, where
         # the crossover genuinely moves — only the full run asserts
         assert quick or plan.path == measured_best, (
@@ -154,63 +170,146 @@ def main():
             f"{plan.path}, measured winner {measured_best} — re-tune "
             f"serving.BATCH_CROSSOVER_UNKNOWNS")
 
+    # ---- dense LASSO baseline-size serving (1000x2000) -----------------
+    # Round-5 rows (round-4 VERDICT item 2): the BASELINE dense shape
+    # (n=2000 unknowns) at B in {8, 32} — the regime where real dense
+    # problems live and where the TV-derived crossover was
+    # unmeasured.  Both batch paths share the operator; instances
+    # differ in b.
+    from fasta_tpu.kernels.microsolver import microsolve_lasso
+
+    lp = problems.build("lasso")            # 1000x2000 baseline
+    li = lp.instance
+    Al = jnp.asarray(li["A"], jnp.float32)
+    bl = jnp.asarray(li["b"], jnp.float32)
+    x0l = jnp.asarray(li["x0"], jnp.float32)
+    mi_l = 300
+    opts_l = FastaOptions(max_iters=mi_l, tol=1e-6, adaptive=True,
+                          backtrack=True, precision="standard")
+    from fasta_tpu import recommend_path as _rp
+
+    for Bl in ((8,) if quick else (8, 32)):
+        rngl = np.random.default_rng(11)
+        bls = jnp.stack([bl * (1.0 + 0.01 * i)
+                         + jnp.asarray(rngl.standard_normal(bl.shape)
+                                       * 0.01, jnp.float32)
+                         for i in range(Bl)])
+        x0ls = jnp.stack([x0l] * Bl)
+
+        def run_bl(bls=bls, x0ls=x0ls):
+            out = jax.vmap(
+                lambda bi, xi: microsolve_lasso(
+                    Al, bi, xi, 0.05, li["mu"], max_iters=mi_l,
+                    tol=1e-6))(bls, x0ls)
+            return out[3]
+        ksl = np.asarray(run_bl())
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_bl())
+            best = min(best, time.perf_counter() - t0)
+        wbl = max(best - rtt, 1e-9)
+        print(f"lasso1000x2000 batch x{Bl} microsolver: "
+              f"{wbl*1e3:8.1f} ms = {wbl/Bl*1e3:6.3f} ms/solve "
+              f"({Bl/wbl:6.0f} solves/s); iters {ksl.min()}..{ksl.max()}")
+
+        batchl = make_batch_solver(
+            opts_l, in_axes=(None, LeastSquares(0), None, 0, None))
+        wl, ol = _timed(lambda: batchl(lp.op, LeastSquares(bls),
+                                       lp.gterm, x0ls,
+                                       jnp.asarray(0.05, jnp.float32)),
+                        rtt)
+        ksxl = np.asarray(ol.iteration_count)
+        print(f"lasso1000x2000 batch x{Bl} vmapped solver: "
+              f"{wl*1e3:8.1f} ms = {wl/Bl*1e3:6.3f} ms/solve "
+              f"({Bl/wl:6.0f} solves/s); iters {ksxl.min()}.."
+              f"{ksxl.max()}")
+
+        planl = _rp(lp, Bl)
+        measured_l = ("microsolve_batch" if wbl / Bl < wl / Bl
+                      else "batch_solver")
+        ratio_l = (wl / wbl) if measured_l == "microsolve_batch" \
+            else (wbl / wl)
+        crossover_table.append(("lasso", 2000, Bl, measured_l, ratio_l))
+        tagl = "OK" if planl.path == measured_l else "MISMATCH"
+        print(f"lasso recommend_path(batch={Bl}) -> {planl.path} "
+              f"[measured winner: {measured_l} by {ratio_l:.2f}x] "
+              f"{tagl}")
+        assert quick or planl.path == measured_l, (
+            f"regime map stale at lasso batch {Bl}: recommended "
+            f"{planl.path}, measured winner {measured_l}")
+
     # ---- planar PhaseMax flagship serving (16384x256) ------------------
-    # New row 2026-08-20: the rowt kernel cut the single solve to
-    # ~2.4 ms — measure the batch paths at the flagship shape (n=512
-    # unknowns, far below the TV-derived crossover, where the regime
-    # map currently predicts the vmapped XLA batch solver).
+    # Round-4 row at B=16; round-5 adds B in {4, 64} (VERDICT item 2)
+    # — n=512 unknowns, far below the TV-derived crossover, where the
+    # regime map predicts the vmapped XLA batch solver.
     from fasta_tpu.kernels.microsolver_planar import \
         microsolve_planar_phasemax
     from fasta_tpu.terms import PlanarPhaseHinge
 
     ppr = problems.build("phase_retrieval", planar=True,
                          dtype=jnp.float32)
-    Bp = 4 if quick else 16
     mi_p = 300
     bp = jnp.asarray(ppr.fterm.b, jnp.float32)
-    bsp = jnp.stack([bp * (1.0 + 0.002 * i) for i in range(Bp)])
     x0p = jnp.asarray(ppr.x0, jnp.float32)
-    x0ps = jnp.stack([x0p] * Bp)
     Arp = jnp.asarray(ppr.op.Ar, jnp.float32)
     Aip = jnp.asarray(ppr.op.Ai, jnp.float32)
     cp = jnp.asarray(ppr.gterm.c, jnp.float32)
 
-    def run_bp():
-        out = jax.vmap(
-            lambda bi, xi: microsolve_planar_phasemax(
-                Arp, Aip, bi, cp, xi, 1.0, max_iters=mi_p, tol=1e-5,
-                hp=True))(bsp, x0ps)
-        return out[3]                       # iteration counts
-    ksp = np.asarray(run_bp())
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run_bp())
-        best = min(best, time.perf_counter() - t0)
-    wbp = max(best - rtt, 1e-9)
-    print(f"pr16384 batch x{Bp} microsolver: {wbp*1e3:8.1f} ms = "
-          f"{wbp/Bp*1e3:6.2f} ms/solve ({Bp/wbp:5.0f} solves/s); "
-          f"iters {ksp.min()}..{ksp.max()}")
+    for Bp in ((4,) if quick else (4, 16, 64)):
+        bsp = jnp.stack([bp * (1.0 + 0.002 * i) for i in range(Bp)])
+        x0ps = jnp.stack([x0p] * Bp)
 
-    opts_p = FastaOptions(max_iters=mi_p, tol=1e-5, adaptive=True,
-                          backtrack=True, precision="standard")
-    batchp = make_batch_solver(
-        opts_p, in_axes=(None, PlanarPhaseHinge(0), None, 0, None))
-    wp, op_ = _timed(lambda: batchp(ppr.op, PlanarPhaseHinge(bsp),
-                                    ppr.gterm, x0ps,
-                                    jnp.asarray(1.0, jnp.float32)), rtt)
-    ksx = np.asarray(op_.iteration_count)
-    print(f"pr16384 batch x{Bp} vmapped solver: {wp*1e3:8.1f} ms = "
-          f"{wp/Bp*1e3:6.2f} ms/solve ({Bp/wp:5.0f} solves/s); "
-          f"iters {ksx.min()}..{ksx.max()}")
+        def run_bp(bsp=bsp, x0ps=x0ps):
+            out = jax.vmap(
+                lambda bi, xi: microsolve_planar_phasemax(
+                    Arp, Aip, bi, cp, xi, 1.0, max_iters=mi_p, tol=1e-5,
+                    hp=True))(bsp, x0ps)
+            return out[3]                   # iteration counts
+        ksp = np.asarray(run_bp())
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_bp())
+            best = min(best, time.perf_counter() - t0)
+        wbp = max(best - rtt, 1e-9)
+        print(f"pr16384 batch x{Bp} microsolver: {wbp*1e3:8.1f} ms = "
+              f"{wbp/Bp*1e3:6.2f} ms/solve ({Bp/wbp:5.0f} solves/s); "
+              f"iters {ksp.min()}..{ksp.max()}")
 
-    from fasta_tpu import recommend_path as _rp
-    planp = _rp(ppr, Bp)
-    measured_p = ("microsolve_batch" if wbp / Bp < wp / Bp
-                  else "batch_solver")
-    tagp = "OK" if planp.path == measured_p else "MISMATCH"
-    print(f"pr16384 recommend_path(batch={Bp}) -> {planp.path} "
-          f"[measured winner: {measured_p}] {tagp}")
+        opts_p = FastaOptions(max_iters=mi_p, tol=1e-5, adaptive=True,
+                              backtrack=True, precision="standard")
+        batchp = make_batch_solver(
+            opts_p, in_axes=(None, PlanarPhaseHinge(0), None, 0, None))
+        wp, op_ = _timed(lambda: batchp(ppr.op, PlanarPhaseHinge(bsp),
+                                        ppr.gterm, x0ps,
+                                        jnp.asarray(1.0, jnp.float32)),
+                         rtt)
+        ksx = np.asarray(op_.iteration_count)
+        print(f"pr16384 batch x{Bp} vmapped solver: {wp*1e3:8.1f} ms = "
+              f"{wp/Bp*1e3:6.2f} ms/solve ({Bp/wp:5.0f} solves/s); "
+              f"iters {ksx.min()}..{ksx.max()}")
+
+        planp = _rp(ppr, Bp)
+        measured_p = ("microsolve_batch" if wbp / Bp < wp / Bp
+                      else "batch_solver")
+        ratio_p = (wp / wbp) if measured_p == "microsolve_batch" \
+            else (wbp / wp)
+        crossover_table.append(("pr16384", 512, Bp, measured_p,
+                                ratio_p))
+        tagp = "OK" if planp.path == measured_p else "MISMATCH"
+        print(f"pr16384 recommend_path(batch={Bp}) -> {planp.path} "
+              f"[measured winner: {measured_p} by {ratio_p:.2f}x] "
+              f"{tagp}")
+        assert quick or planp.path == measured_p, (
+            f"regime map stale at pr16384 batch {Bp}: recommended "
+            f"{planp.path}, measured winner {measured_p}")
+
+    print("\n# crossover evidence table "
+          "(family, unknowns, batch, winner, margin):")
+    for fam, nunk, bsz, winner, ratio in crossover_table:
+        print(f"#   {fam:8s} n={nunk:7d} B={bsz:3d} -> {winner} "
+              f"({ratio:.2f}x)")
 
 
 if __name__ == "__main__":

@@ -86,12 +86,28 @@ def supports_microsolver(m: int, n: int) -> bool:
     return m * n * 4 <= _DENSE_VMEM_BYTES
 
 
+def halt_code(stop, *finite_scalars):
+    """Loop-halt status from the stop decision + nonfinite guard (all
+    three whole-solve kernels): 0 = keep running, 1 = converged,
+    2 = NONFINITE (f/τ/residual went NaN or ±inf — without this, every
+    stop-rule comparison is False and the kernel silently burns
+    max_iters; the XLA path's guard_nonfinite analog).  The nonfinite
+    case wins over a coincidental True stop: a NaN-poisoned residual
+    compares False everywhere, so the two are mutually exclusive in
+    practice, and a poisoned 'converged' must never be reported."""
+    finite = finite_scalars[0]
+    for s in finite_scalars[1:]:
+        finite = finite & s
+    return jnp.where(~finite, jnp.int32(2),
+                     jnp.where(stop, jnp.int32(1), jnp.int32(0)))
+
+
 def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, engine="vpu", prox="l1",
                  hp=False, accelerate=False, restart=True,
                  restart_dd=False, loss="lstsq",
                  stop_rule="hybrid_residual", record_fvals=False,
-                 warm_sweep=False):
+                 record_bts=False, warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
@@ -115,7 +131,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     mxu_prec = jax.lax.Precision.HIGHEST
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
-               x_ref, taus_ref, res_ref, fv_ref, k_ref, conv_ref, *scr):
+               x_ref, taus_ref, res_ref, fv_ref, bt_ref, k_ref, conv_ref,
+               *scr):
         if warm_sweep:
             xprev_scr, tprev_scr = scr
         A = A_ref[:]                       # (m, n) pinned in VMEM
@@ -143,6 +160,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -164,6 +182,18 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             frow_n = jnp.where(lane128 == lane, fv, frow_c)
             fv_ref[pl.ds(row, 1), :] = frow_n
             return frow_n
+
+        def record_bt(k, bt, btrow_c):
+            """Optional backtrack-count row (C5 parity: backtracks[k] =
+            line-search trials this iteration, the XLA recorder's
+            backtracks field) — same O(1) accumulator-row pattern."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            btrow_n = jnp.where(lane128 == lane,
+                                bt.astype(jnp.float32), btrow_c)
+            bt_ref[pl.ds(row, 1), :] = btrow_n
+            return btrow_n
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -274,7 +304,9 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                    else None)
 
         def cond(c):
-            return (c[0] < max_iters) & (~c[1])
+            # c[1] is the int32 halt status (see halt_code): 0 keeps
+            # running, 1 = converged, 2 = nonfinite abort
+            return (c[0] < max_iters) & (c[1] == 0)
 
         def window_max(fwin_c, fwlo_c):
             """Nonmonotone window max M (hp: lo-channel tiebreak —
@@ -350,11 +382,13 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             def body(c):
                 if warm_sweep:
                     *c, _tacc_c = c
+                if record_bts:
+                    *c, btrow_c = c
                 if record_fvals:
                     *c, frow_c = c
                 else:
                     frow_c = None
-                (k, _stop, y_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
+                (k, _halt, y_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
                  trow_c, rrow_c, xa_c, dacc_c, alpha_c) = c
 
                 def fb(tau):
@@ -405,10 +439,15 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 fwin_n = jnp.where(lane_w == (k + 1) % window,
                                    f_hi(f_rec), fwin_c)
 
-                out = (k + 1, stop, y_n, g_n, tau, fwin_n, fwlo_n,
+                halt = halt_code(stop, jnp.isfinite(res),
+                                 jnp.isfinite(tau),
+                                 jnp.isfinite(f_hi(f_rec)))
+                out = (k + 1, halt, y_n, g_n, tau, fwin_n, fwlo_n,
                        maxres, trow_n, rrow_n, x1, d1, alpha1)
                 if record_fvals:
                     out += (record_f(k, f_plain(f_rec), frow_c),)
+                if record_bts:
+                    out += (record_bt(k, bt, btrow_c),)
                 if warm_sweep:
                     # last genuinely ACCEPTED stepsize — a backtrack-
                     # exhausted tau (typical of the final converged
@@ -418,7 +457,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                                       _tacc_c),)
                 return out
 
-            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                     x0, g0, tau0, fwin, fwin_lo,
                     jnp.asarray(-jnp.inf, jnp.float32),
                     jnp.zeros((1, 128), jnp.float32),
@@ -426,36 +465,43 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     x0, d0, jnp.asarray(1.0, jnp.float32))
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_bts:
+                init += (jnp.zeros((1, 128), jnp.float32),)
             if warm_sweep:
                 init += (jnp.zeros((), jnp.float32),)
             fin = jax.lax.while_loop(cond, body, init)
-            (k, stop, y_f, _g, _tau, _fw, _fwlo, _mr, _tr, _rr,
+            (k, halt, y_f, _g, _tau, _fw, _fwlo, _mr, _tr, _rr,
              xa_f, _d, _a) = fin[:13]
 
             # a converged stop exits at the prox iterate; max-iters
             # exhaustion returns the extrapolated point (oracle break
             # semantics, solver.py solution select)
-            sol = jnp.where(stop, xa_f, y_f)
+            sol = jnp.where(halt == 1, xa_f, y_f)
             x_ref[:] = sol
             k_ref[0, 0] = k
-            conv_ref[0, 0] = stop.astype(jnp.int32)
+            conv_ref[0, 0] = halt
             if warm_sweep:
                 tau_acc = fin[-1]
-                xprev_scr[:] = sol
+                # a nonfinite abort must not poison the NEXT path
+                # point: fall back to the caller's cold start/stepsize
+                ok = halt != 2
+                xprev_scr[:] = jnp.where(ok, sol, x0_ref[:])
                 # solve_path's degenerate guard: keep the carried tau
                 # when the solve died at 0 iterations / dead stepsize
-                tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
-                                            tau_acc, tau0)
+                tprev_scr[0, 0] = jnp.where(
+                    ok & (k > 0) & (tau_acc > 0.0), tau_acc, tau0)
             return
 
         def body(c):
             if warm_sweep:
                 *c, _tacc_c = c
+            if record_bts:
+                *c, btrow_c = c
             if record_fvals:
                 *c, frow_c = c
             else:
                 frow_c = None
-            (k, _stop, x_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
+            (k, _halt, x_c, g_c, tau_c, fwin_c, fwlo_c, maxres_c,
              trow_c, rrow_c) = c
 
             def fb(tau):
@@ -495,35 +541,43 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             bad = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
             tau_n = jnp.where(bad, tau * 1.5, tau_n)
 
-            out = (k + 1, stop, x1, g1, tau_n, fwin_n, fwlo_n, maxres,
+            halt = halt_code(stop, jnp.isfinite(res),
+                             jnp.isfinite(tau_n),
+                             jnp.isfinite(f_hi(f1)))
+            out = (k + 1, halt, x1, g1, tau_n, fwin_n, fwlo_n, maxres,
                    trow_n, rrow_n)
             if record_fvals:
                 out += (record_f(k, f_plain(f1), frow_c),)
+            if record_bts:
+                out += (record_bt(k, bt, btrow_c),)
             if warm_sweep:
                 # genuinely accepted only — see the accelerate body
                 out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
             return out
 
-        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                 x0, g0, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
                 jnp.zeros((1, 128), jnp.float32),
                 jnp.zeros((1, 128), jnp.float32))
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_bts:
+            init += (jnp.zeros((1, 128), jnp.float32),)
         if warm_sweep:
             init += (jnp.zeros((), jnp.float32),)
         fin = jax.lax.while_loop(cond, body, init)
-        (k, stop, x_f, _gf, _tauf, _fw, _fwlo, _mr, _tr,
+        (k, halt, x_f, _gf, _tauf, _fw, _fwlo, _mr, _tr,
          _rr) = fin[:10]
 
         x_ref[:] = x_f
         k_ref[0, 0] = k
-        conv_ref[0, 0] = stop.astype(jnp.int32)
+        conv_ref[0, 0] = halt
         if warm_sweep:
             tau_acc = fin[-1]
-            xprev_scr[:] = x_f
-            tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
+            ok = halt != 2          # see the accelerate epilogue
+            xprev_scr[:] = jnp.where(ok, x_f, x0_ref[:])
+            tprev_scr[0, 0] = jnp.where(ok & (k > 0) & (tau_acc > 0.0),
                                         tau_acc, tau0)
 
     return kernel
@@ -534,13 +588,14 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss",
-                     "stop_rule", "record_fvals"))
+                     "stop_rule", "record_fvals", "record_bts"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                      interpret=False, engine="vpu", prox="l1",
                      hp=False, accelerate=False, restart=True,
                      restart_dd=False, loss="lstsq",
-                     stop_rule="hybrid_residual", record_fvals=False):
+                     stop_rule="hybrid_residual", record_fvals=False,
+                     record_bts=False):
     """Whole-solve kernel for  min f(Ax) + g(x)  with f selected by
     ``loss``: "lstsq" (½‖·−b‖²), "logistic" (Σlog(1+exp(·))−bᵀ·, labels
     b ∈ {0,1}) or "squared_hinge" (½Σmax(0,1−b⊙·)², labels b ∈ {±1});
@@ -563,10 +618,17 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     ``record_fvals=True`` additionally records the per-iteration
     f-value (the XLA recorder's f_record semantics: the accepted
     trial's f in adaptive mode, f at the next search point under
-    FISTA) and appends it to the return tuple.
+    FISTA) and appends it to the return tuple; ``record_bts=True``
+    records line-search trial counts per iteration (the recorder's
+    backtracks field) and appends them after fvals.
 
     Returns (x, taus[max_iters], residuals[max_iters], iteration_count,
-    converged) — plus fvals[max_iters] when ``record_fvals``.
+    status) — plus fvals[max_iters] when ``record_fvals``, plus
+    bts[max_iters] (f32 counts) when ``record_bts``.  ``status`` is an
+    int32 halt code, truthiness-compatible with the old converged bool:
+    0 = max_iters exhausted, 1 = converged, 2 = NONFINITE abort (f/τ/
+    residual went NaN/inf; see halt_code — without the in-kernel guard
+    a poisoned solve silently burned max_iters with converged=False).
     """
     check_stop_rule(stop_rule)
     m, n = A.shape
@@ -574,14 +636,14 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss,
-                        stop_rule, record_fvals)
+                        stop_rule, record_fvals, record_bts)
     # τ₀ and μ ride the SMEM scalar vector: μ is a traced leaf (one
     # executable per option set serves every penalty weight; vmap over
     # it = in-kernel regularization path).  Shape (1,2) — see the
     # kernel comment on Mosaic's batched-SMEM block rule.
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    x, taus, res, fv, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (1,n)
@@ -594,11 +656,13 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # taus rows
             pl.BlockSpec(memory_space=pltpu.VMEM),      # res rows
             pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # bts rows
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k (1,1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # conv (1,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # status (1,1)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
@@ -613,9 +677,11 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         interpret=interpret,
     )(x0.reshape(1, n), b.reshape(1, m), ts, A)
     out = (x.reshape(n), taus.reshape(kpad)[:max_iters],
-           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0])
     if record_fvals:
         out += (fv.reshape(kpad)[:max_iters],)
+    if record_bts:
+        out += (bts.reshape(kpad)[:max_iters],)
     return out
 
 
@@ -624,14 +690,14 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss",
-                     "stop_rule", "record_fvals"))
+                     "stop_rule", "record_fvals", "record_bts"))
 def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                           tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                           interpret=False, engine="vpu", prox="l1",
                           hp=False, accelerate=False, restart=True,
                           restart_dd=False, loss="lstsq",
                           stop_rule="hybrid_residual",
-                          record_fvals=False):
+                          record_fvals=False, record_bts=False):
     """WARM-STARTED regularization path in ONE kernel launch: an
     explicit sequential grid over the B entries of ``mus`` (strongest
     penalty first, the classic continuation order) where path point i
@@ -648,8 +714,10 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
     normalization tightens under warm starts (solve_path note).
 
     Returns (xs: (B,n), taus: (B,max_iters), residuals: (B,max_iters),
-    ks: (B,), converged: (B,)) — plus fvals (B,max_iters) when
-    ``record_fvals``.
+    ks: (B,), status: (B,) int32 — see microsolve_lasso) — plus fvals
+    (B,max_iters) when ``record_fvals``, plus bts when ``record_bts``.
+    A nonfinite abort (status 2) at path point i does NOT poison point
+    i+1: the warm carry falls back to the caller's cold x0/tau0.
     """
     check_stop_rule(stop_rule)
     m, n = A.shape
@@ -658,7 +726,8 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss,
-                        stop_rule, record_fvals, warm_sweep=True)
+                        stop_rule, record_fvals, record_bts,
+                        warm_sweep=True)
     ts = jnp.stack([jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
                     jnp.asarray(mus, jnp.float32)],
                    axis=-1).reshape(B, 1, 2)
@@ -674,7 +743,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                              memory_space=pltpu.VMEM)
     rows_shape = jax.ShapeDtypeStruct((B, kpad // 128, 128),
                                       jnp.float32)
-    x, taus, res, fv, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, k, conv = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -693,13 +762,15 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
             rows_spec,                                      # taus_i
             rows_spec,                                      # res_i
             rows_spec,                                      # fvals_i
+            rows_spec,                                      # bts_i
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),          # k_i
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),          # conv_i
+                         memory_space=pltpu.SMEM),          # status_i
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+            rows_shape,
             rows_shape,
             rows_shape,
             rows_shape,
@@ -717,7 +788,9 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
     )(x0.reshape(1, n), b.reshape(1, m), ts, A)
     out = (x.reshape(B, n), taus.reshape(B, kpad)[:, :max_iters],
            res.reshape(B, kpad)[:, :max_iters], k.reshape(B),
-           conv.reshape(B) > 0)
+           conv.reshape(B))
     if record_fvals:
         out += (fv.reshape(B, kpad)[:, :max_iters],)
+    if record_bts:
+        out += (bts.reshape(B, kpad)[:, :max_iters],)
     return out

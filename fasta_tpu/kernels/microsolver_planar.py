@@ -67,10 +67,10 @@ def supports_planar_microsolver(m: int, n: int) -> bool:
 def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate, restart,
                  restart_dd, engine, stop_rule="hybrid_residual",
-                 record_fvals=False):
+                 record_fvals=False, record_bts=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows2
-    from .microsolver import stop_from_rule
+    from .microsolver import halt_code, stop_from_rule
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
 
     # The planar kernel is VPU-ONLY since the rowt rewrite (the dense
@@ -110,7 +110,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     nchunks = m // rc
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
-               x_ref, taus_ref, res_ref, fv_ref, k_ref, conv_ref,
+               x_ref, taus_ref, res_ref, fv_ref, bt_ref, k_ref, conv_ref,
                dscr_r, dscr_i, yscr_r, yscr_i, pscr_r, pscr_i):
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
@@ -123,6 +123,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -143,6 +144,17 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             frow_n = jnp.where(lane128 == lane, fv, frow_c)
             fv_ref[pl.ds(row, 1), :] = frow_n
             return frow_n
+
+        def record_bt(k, bt, btrow_c):
+            """Optional backtrack-count row (C5 parity — see
+            kernels/microsolver.py record_bt)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            btrow_n = jnp.where(lane128 == lane,
+                                bt.astype(jnp.float32), btrow_c)
+            bt_ref[pl.ds(row, 1), :] = btrow_n
+            return btrow_n
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -234,7 +246,9 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                    else None)
 
         def cond(cy):
-            return (cy[0] < max_iters) & (~cy[1])
+            # cy[1] is the int32 halt status (microsolver.halt_code):
+            # 0 running, 1 converged, 2 nonfinite abort
+            return (cy[0] < max_iters) & (cy[1] == 0)
 
         def window_max(fwin_c, fwlo_c):
             if hp:
@@ -274,7 +288,9 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             out = jax.lax.while_loop(
                 bt_cond, bt_body,
                 (tau,) + first + (jnp.zeros((), jnp.int32),))
-            return out[:-1]
+            # the trial counter stays in the return for the optional
+            # backtrack-count recording (record_bts)
+            return out
 
         def resid_stop(tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c,
                        maxres_c):
@@ -296,11 +312,13 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
         if accelerate:
             def body(cy):
+                if record_bts:
+                    *cy, btrow_c = cy
                 if record_fvals:
                     *cy, frow_c = cy
                 else:
                     frow_c = None
-                (k, _s, yr, yi, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
+                (k, _halt, yr, yi, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
                  maxres_c, trow_c, rrow_c, xar, xai, dar, dai,
                  alpha_c) = cy
 
@@ -320,7 +338,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 first = fb(tau)
                 M = window_max(fwin_c, fwlo_c)
                 (tau, x1r, x1i, dxr, dxi, f1, zr, zi,
-                 d1r, d1i) = backtrack(fb, first, tau, gr_c, gi_c, M)
+                 d1r, d1i, bt) = backtrack(fb, first, tau, gr_c, gi_c, M)
 
                 _nd2, res, maxres, stop = resid_stop(
                     tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c,
@@ -354,14 +372,19 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 fwin_n = jnp.where(lane_w == (k + 1) % window,
                                    f_hi(f_rec), fwin_c)
 
-                out = (k + 1, stop, yr_n, yi_n, gr_n, gi_n, tau,
+                halt = halt_code(stop, jnp.isfinite(res),
+                                 jnp.isfinite(tau),
+                                 jnp.isfinite(f_hi(f_rec)))
+                out = (k + 1, halt, yr_n, yi_n, gr_n, gi_n, tau,
                        fwin_n, fwlo_n, maxres, trow_n, rrow_n,
                        x1r, x1i, d1r, d1i, alpha1)
                 if record_fvals:
                     out += (record_f(k, f_plain(f_rec), frow_c),)
+                if record_bts:
+                    out += (record_bt(k, bt, btrow_c),)
                 return out
 
-            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                     x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
                     jnp.asarray(-jnp.inf, jnp.float32),
                     jnp.zeros((1, 128), jnp.float32),
@@ -369,23 +392,27 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     x0r, x0i, d0r, d0i, jnp.asarray(1.0, jnp.float32))
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
-            (k, stop, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
+            if record_bts:
+                init += (jnp.zeros((1, 128), jnp.float32),)
+            (k, halt, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
              _rr, xar_f, xai_f, _dr, _di,
              _a) = jax.lax.while_loop(cond, body, init)[:17]
-            xr_out = jnp.where(stop, xar_f, yr_f)
-            xi_out = jnp.where(stop, xai_f, yi_f)
+            xr_out = jnp.where(halt == 1, xar_f, yr_f)
+            xi_out = jnp.where(halt == 1, xai_f, yi_f)
             x_ref[0:1] = xr_out
             x_ref[1:2] = xi_out
             k_ref[0, 0] = k
-            conv_ref[0, 0] = stop.astype(jnp.int32)
+            conv_ref[0, 0] = halt
             return
 
         def body(cy):
+            if record_bts:
+                *cy, btrow_c = cy
             if record_fvals:
                 *cy, frow_c = cy
             else:
                 frow_c = None
-            (k, _s, xr_c, xi_c, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
+            (k, _halt, xr_c, xi_c, gr_c, gi_c, tau_c, fwin_c, fwlo_c,
              maxres_c, trow_c, rrow_c) = cy
 
             def fb(tau):
@@ -403,7 +430,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             first = fb(tau)
             M = window_max(fwin_c, fwlo_c)
             (tau, x1r, x1i, dxr, dxi, f1, zr, zi, g1r,
-             g1i) = backtrack(fb, first, tau, gr_c, gi_c, M)
+             g1i, bt) = backtrack(fb, first, tau, gr_c, gi_c, M)
 
             nd2, res, maxres, stop = resid_stop(
                 tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c, maxres_c)
@@ -428,25 +455,32 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             bad = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
             tau_n = jnp.where(bad, tau * 1.5, tau_n)
 
-            out = (k + 1, stop, x1r, x1i, g1r, g1i, tau_n, fwin_n,
+            halt = halt_code(stop, jnp.isfinite(res),
+                             jnp.isfinite(tau_n),
+                             jnp.isfinite(f_hi(f1)))
+            out = (k + 1, halt, x1r, x1i, g1r, g1i, tau_n, fwin_n,
                    fwlo_n, maxres, trow_n, rrow_n)
             if record_fvals:
                 out += (record_f(k, f_plain(f1), frow_c),)
+            if record_bts:
+                out += (record_bt(k, bt, btrow_c),)
             return out
 
-        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                 x0r, x0i, g0r, g0i, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
                 jnp.zeros((1, 128), jnp.float32),
                 jnp.zeros((1, 128), jnp.float32))
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
-        (k, stop, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
+        if record_bts:
+            init += (jnp.zeros((1, 128), jnp.float32),)
+        (k, halt, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
          _rr) = jax.lax.while_loop(cond, body, init)[:12]
         x_ref[0:1] = xr_f
         x_ref[1:2] = xi_f
         k_ref[0, 0] = k
-        conv_ref[0, 0] = stop.astype(jnp.int32)
+        conv_ref[0, 0] = halt
 
     return kernel
 
@@ -456,21 +490,24 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "engine", "stop_rule",
-                     "record_fvals"))
+                     "record_fvals", "record_bts"))
 def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                window=10, tol=1e-3, shrink_factor=0.2,
                                max_backtracks=20, interpret=False,
                                hp=False, accelerate=False, restart=True,
                                restart_dd=False, engine="vpu",
                                stop_rule="hybrid_residual",
-                               record_fvals=False):
+                               record_fvals=False, record_bts=False):
     """Whole-solve kernel for planar PhaseMax
     ``min ½Σ max(|Ax|−b,0)² − ⟨c,x⟩`` (adaptive BB or FISTA mode).
 
     Ar/Ai: (m,n) real channel matrices; b: (m,) magnitudes; c: (n,2)
     planar anchor; x0: (n,2) planar start.  Returns (x: (n,2), taus,
-    residuals, iteration_count, converged) — plus fvals when
-    ``record_fvals``.  Same option semantics as the dense microsolver
+    residuals, iteration_count, status) — plus fvals when
+    ``record_fvals``, plus bts when ``record_bts``.  ``status`` is the
+    int32 halt code of kernels/microsolver.halt_code (0 max_iters /
+    1 converged / 2 nonfinite abort; truthiness-compatible with the
+    old converged bool).  Same option semantics as the dense microsolver
     (kernels/microsolver.py), including the five C4 ``stop_rule``s —
     except ``engine``: the planar kernel is VPU-only since the rowt
     rewrite (the MXU A/B variant measured 1.44x slower round-3 and its
@@ -490,9 +527,10 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
-                        restart_dd, engine, stop_rule, record_fvals)
+                        restart_dd, engine, stop_rule, record_fvals,
+                        record_bts)
     ts = jnp.asarray(tau0, jnp.float32).reshape(1, 1)
-    x, taus, res, fv, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (2,n)
@@ -507,11 +545,13 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # taus
             pl.BlockSpec(memory_space=pltpu.VMEM),      # res
             pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # bts
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # conv
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # status
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
@@ -541,7 +581,9 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
     )(x0.T.reshape(2, n), b.reshape(1, m), c.T.reshape(2, n), ts,
       Ar.T, Ai.T)
     out = (x.T, taus.reshape(kpad)[:max_iters],
-           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0])
     if record_fvals:
         out += (fv.reshape(kpad)[:max_iters],)
+    if record_bts:
+        out += (bts.reshape(kpad)[:max_iters],)
     return out

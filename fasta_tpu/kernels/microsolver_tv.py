@@ -34,10 +34,10 @@ _WPAD = 128
 def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
                  restart_dd=False, stop_rule="hybrid_residual",
-                 record_fvals=False, warm_sweep=False):
+                 record_fvals=False, record_bts=False, warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows2, dd_reduce
-    from .microsolver import stop_from_rule
+    from .microsolver import halt_code, stop_from_rule
     need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
     # warm_sweep: explicit sequential grid over denoising strengths
     # (microsolve_tv_path) — step i>0 starts from step i-1's dual field
@@ -46,7 +46,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
     # (kernels/microsolver.py warm_sweep notes).
 
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
-               xv_ref, xh_ref, taus_ref, res_ref, fv_ref, k_ref,
+               xv_ref, xh_ref, taus_ref, res_ref, fv_ref, bt_ref, k_ref,
                conv_ref, *scr):
         if warm_sweep:
             pvprev_scr, phprev_scr, tprev_scr = scr
@@ -66,6 +66,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         taus_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -86,6 +87,17 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             frow_n = jnp.where(lane128 == lane, fv, frow_c)
             fv_ref[pl.ds(row, 1), :] = frow_n
             return frow_n
+
+        def record_bt(k, bt, btrow_c):
+            """Optional backtrack-count row (C5 parity — see
+            kernels/microsolver.py record_bt)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            btrow_n = jnp.where(lane128 == lane,
+                                bt.astype(jnp.float32), btrow_c)
+            bt_ref[pl.ds(row, 1), :] = btrow_n
+            return btrow_n
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -169,7 +181,9 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             return jnp.clip(z, -1.0, 1.0)
 
         def cond(c):
-            return (c[0] < max_iters) & (~c[1])
+            # c[1] is the int32 halt status (microsolver.halt_code):
+            # 0 running, 1 converged, 2 nonfinite abort
+            return (c[0] < max_iters) & (c[1] == 0)
 
         # ---- shared solver-step machinery (both modes) ----------------
         # A mode's fb(tau) returns (zv, zh, xv, xh, dv, dh, f1, *rest):
@@ -249,11 +263,13 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             def body(c):
                 if warm_sweep:
                     *c, _tacc_c = c
+                if record_bts:
+                    *c, btrow_c = c
                 if record_fvals:
                     *c, frow_c = c
                 else:
                     frow_c = None
-                (k, _stop, yv, yh, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
+                (k, _halt, yv, yh, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
                  maxres_c, trow_c, rrow_c, xav, xah, dacc, alpha_c) = c
 
                 def fb(tau):
@@ -313,11 +329,16 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 fwin_n = jnp.where(lane_w == (k + 1) % window,
                                    f_hi(f_rec), fwin_c)
 
-                out = (k + 1, stop, yv_n, yh_n, gvn, ghn, tau, fwin_n,
+                halt = halt_code(stop, jnp.isfinite(res),
+                                 jnp.isfinite(tau),
+                                 jnp.isfinite(f_hi(f_rec)))
+                out = (k + 1, halt, yv_n, yh_n, gvn, ghn, tau, fwin_n,
                        fwlo_n, maxres, trow_n, rrow_n, xv, xh, d1,
                        alpha1)
                 if record_fvals:
                     out += (record_f(k, f_plain(f_rec), frow_c),)
+                if record_bts:
+                    out += (record_bt(k, bt, btrow_c),)
                 if warm_sweep:
                     # genuinely ACCEPTED stepsize only (see the dense
                     # kernel's accelerate body note)
@@ -325,7 +346,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                                       _tacc_c),)
                 return out
 
-            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                     pv0, ph0, gv0, gh0, tau0, fwin, fwin_lo,
                     jnp.asarray(-jnp.inf, jnp.float32),
                     jnp.zeros((1, 128), jnp.float32),
@@ -333,24 +354,29 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                     pv0, ph0, d0, jnp.asarray(1.0, jnp.float32))
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_bts:
+                init += (jnp.zeros((1, 128), jnp.float32),)
             if warm_sweep:
                 init += (jnp.zeros((), jnp.float32),)
             fin = jax.lax.while_loop(cond, body, init)
-            (k, stop, yv_f, yh_f, _gv, _gh, _tau, _fw, _fwlo, _mr,
+            (k, halt, yv_f, yh_f, _gv, _gh, _tau, _fw, _fwlo, _mr,
              _tr, _rr, xav_f, xah_f, _d, _a) = fin[:16]
 
             # a converged stop exits at the prox iterate; max-iters
             # exhaustion returns the extrapolated point (oracle break
             # semantics, solver.py solution select)
-            solv = jnp.where(stop, xav_f, yv_f)
-            solh = jnp.where(stop, xah_f, yh_f)
+            solv = jnp.where(halt == 1, xav_f, yv_f)
+            solh = jnp.where(halt == 1, xah_f, yh_f)
             xv_ref[:] = solv
             xh_ref[:] = solh
             k_ref[0, 0] = k
-            conv_ref[0, 0] = stop.astype(jnp.int32)
+            conv_ref[0, 0] = halt
             if warm_sweep:
-                pvprev_scr[:] = solv
-                phprev_scr[:] = solh
+                # a nonfinite abort must not poison the NEXT path point
+                # (see the dense kernel's warm epilogue)
+                ok = halt != 2
+                pvprev_scr[:] = jnp.where(ok, solv, pv_ref[:])
+                phprev_scr[:] = jnp.where(ok, solh, ph_ref[:])
                 if not accelerate:
                     # solve_path's degenerate guard: keep the caller tau
                     # when the solve died at 0 iterations / dead
@@ -366,11 +392,13 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         def body(c):
             if warm_sweep:
                 *c, _tacc_c = c
+            if record_bts:
+                *c, btrow_c = c
             if record_fvals:
                 *c, frow_c = c
             else:
                 frow_c = None
-            (k, _stop, pv_c, ph_c, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
+            (k, _halt, pv_c, ph_c, gv_c, gh_c, tau_c, fwin_c, fwlo_c,
              maxres_c, trow_c, rrow_c) = c
 
             def fb(tau):
@@ -413,37 +441,45 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             deg = (tau_n <= 0.0) | jnp.isinf(tau_n) | jnp.isnan(tau_n)
             tau_n = jnp.where(deg, tau * 1.5, tau_n)
 
-            out = (k + 1, stop, xv, xh, gv1, gh1, tau_n, fwin_n,
+            halt = halt_code(stop, jnp.isfinite(res),
+                             jnp.isfinite(tau_n),
+                             jnp.isfinite(f_hi(f1)))
+            out = (k + 1, halt, xv, xh, gv1, gh1, tau_n, fwin_n,
                    fwlo_n, maxres, trow_n, rrow_n)
             if record_fvals:
                 out += (record_f(k, f_plain(f1), frow_c),)
+            if record_bts:
+                out += (record_bt(k, bt, btrow_c),)
             if warm_sweep:
                 # genuinely accepted only — see the accelerate body
                 out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
             return out
 
-        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                 pv0, ph0, gv0, gh0, tau0, fwin, fwin_lo,
                 jnp.asarray(-jnp.inf, jnp.float32),
                 jnp.zeros((1, 128), jnp.float32),
                 jnp.zeros((1, 128), jnp.float32))
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_bts:
+            init += (jnp.zeros((1, 128), jnp.float32),)
         if warm_sweep:
             init += (jnp.zeros((), jnp.float32),)
         fin = jax.lax.while_loop(cond, body, init)
-        (k, stop, xv_f, xh_f, _gv, _gh, _tau, _fw, _fwlo, _mr, _tr,
+        (k, halt, xv_f, xh_f, _gv, _gh, _tau, _fw, _fwlo, _mr, _tr,
          _rr) = fin[:12]
 
         xv_ref[:] = xv_f
         xh_ref[:] = xh_f
         k_ref[0, 0] = k
-        conv_ref[0, 0] = stop.astype(jnp.int32)
+        conv_ref[0, 0] = halt
         if warm_sweep:
             tau_acc = fin[-1]
-            pvprev_scr[:] = xv_f
-            phprev_scr[:] = xh_f
-            tprev_scr[0, 0] = jnp.where((k > 0) & (tau_acc > 0.0),
+            ok = halt != 2          # see the accelerate epilogue
+            pvprev_scr[:] = jnp.where(ok, xv_f, pv_ref[:])
+            phprev_scr[:] = jnp.where(ok, xh_f, ph_ref[:])
+            tprev_scr[0, 0] = jnp.where(ok & (k > 0) & (tau_acc > 0.0),
                                         tau_acc, tau0)
 
     return kernel
@@ -454,17 +490,21 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "stop_rule",
-                     "record_fvals"))
+                     "record_fvals", "record_bts"))
 def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
                   shrink_factor=0.2, max_backtracks=20, interpret=False,
                   hp=True, accelerate=False, restart=True,
                   restart_dd=False, stop_rule="hybrid_residual",
-                  record_fvals=False):
+                  record_fvals=False, record_bts=False):
     """Whole-solve kernel for the TV dual (adaptive BB or FISTA mode).
 
     b: (H,W) noisy image; p0: (2,H,W) dual init.  Returns
-    (p: (2,H,W), taus, residuals, iteration_count, converged) — plus
-    fvals when ``record_fvals``.  ``stop_rule`` selects among the XLA
+    (p: (2,H,W), taus, residuals, iteration_count, status) — plus
+    fvals when ``record_fvals``, plus bts (per-iteration line-search
+    trial counts, f32) when ``record_bts``.  ``status`` is the int32
+    halt code of kernels/microsolver.halt_code (0 max_iters /
+    1 converged / 2 nonfinite abort; truthiness-compatible with the
+    old converged bool).  ``stop_rule`` selects among the XLA
     solver's five C4 rules (kernels/microsolver.py STOP_RULES).
 
     ``accelerate=True`` runs FISTA with O'Donoghue–Candès gradient
@@ -503,10 +543,10 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
-                        restart_dd, stop_rule, record_fvals)
+                        restart_dd, stop_rule, record_fvals, record_bts)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    xv, xh, taus, res, fv, k, conv = pl.pallas_call(
+    xv, xh, taus, res, fv, bts, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b
@@ -515,6 +555,7 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # ph0
         ],
         out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -529,6 +570,7 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
@@ -538,9 +580,11 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
         interpret=interpret,
     )(b, ts, p0[0], p0[1])
     out = (jnp.stack([xv, xh]), taus.reshape(kpad)[:max_iters],
-           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0] > 0)
+           res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0])
     if record_fvals:
         out += (fv.reshape(kpad)[:max_iters],)
+    if record_bts:
+        out += (bts.reshape(kpad)[:max_iters],)
     return out
 
 
@@ -549,12 +593,13 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "stop_rule",
-                     "record_fvals"))
+                     "record_fvals", "record_bts"))
 def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
                        tol=1e-5, shrink_factor=0.2, max_backtracks=20,
                        interpret=False, hp=True, accelerate=False,
                        restart=True, restart_dd=False,
-                       stop_rule="hybrid_residual", record_fvals=False):
+                       stop_rule="hybrid_residual", record_fvals=False,
+                       record_bts=False):
     """WARM-STARTED denoising-strength path in ONE kernel launch: an
     explicit sequential grid over the B entries of ``mus`` where path
     point i starts from point i-1's dual field and last accepted
@@ -584,8 +629,11 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
     solver.py).
 
     Returns (ps: (B,2,H,W), taus: (B,max_iters), residuals:
-    (B,max_iters), ks: (B,), converged: (B,)) — plus fvals
-    (B,max_iters) when ``record_fvals``.
+    (B,max_iters), ks: (B,), status: (B,) int32 — see microsolve_tv) —
+    plus fvals (B,max_iters) when ``record_fvals``, plus bts when
+    ``record_bts``.  A nonfinite abort (status 2) at path point i
+    does not poison point i+1 (cold fallback, as in
+    microsolve_lasso_path).
     """
     from .microsolver import check_stop_rule
     check_stop_rule(stop_rule)
@@ -594,7 +642,7 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
-                        restart_dd, stop_rule, record_fvals,
+                        restart_dd, stop_rule, record_fvals, record_bts,
                         warm_sweep=True)
     ts = jnp.stack(
         [jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
@@ -612,7 +660,7 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
                               memory_space=pltpu.VMEM)
     scal_spec = pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    xv, xh, taus, res, fv, k, conv = pl.pallas_call(
+    xv, xh, taus, res, fv, bts, k, conv = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -631,12 +679,14 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
             rows_spec,                                   # taus_i
             rows_spec,                                   # res_i
             rows_spec,                                   # fvals_i
+            rows_spec,                                   # bts_i
             scal_spec,                                   # k_i
-            scal_spec,                                   # conv_i
+            scal_spec,                                   # status_i
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, h, w), jnp.float32),
             jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            rows_shape,
             rows_shape,
             rows_shape,
             rows_shape,
@@ -656,7 +706,9 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
     ps = jnp.stack([xv, xh], axis=1)             # (B, 2, H, W)
     out = (ps, taus.reshape(B, kpad)[:, :max_iters],
            res.reshape(B, kpad)[:, :max_iters], k.reshape(B),
-           conv.reshape(B) > 0)
+           conv.reshape(B))
     if record_fvals:
         out += (fv.reshape(B, kpad)[:, :max_iters],)
+    if record_bts:
+        out += (bts.reshape(B, kpad)[:, :max_iters],)
     return out

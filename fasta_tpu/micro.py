@@ -38,16 +38,29 @@ __all__ = ["MicroBatchResult", "MicroResult", "microsolve",
            "microsolve_sweep"]
 
 
+# MicroResult.status values (the kernels' int32 halt codes, in order)
+_STATUS_NAMES = ("max_iters", "converged", "nonfinite")
+
+
 @dataclass
 class MicroResult:
     """Result of a whole-solve kernel run.
 
-    Deliberately smaller than :class:`~fasta_tpu.solver.FastaResult`:
-    the kernels record (stepsizes, residuals, iteration count,
-    convergence flag), plus per-iteration f-values when the solve ran
-    with ``record_fvals=True`` — objectives/backtrack counts stay
-    on-core and are not exported.  Use the XLA solver when full
-    diagnostics are needed.
+    Matches :class:`~fasta_tpu.solver.FastaResult`'s contract minus
+    only ``record_iterates`` (no in-kernel analog by design: VMEM) and
+    the objective/normalized-residual series: the kernels record
+    (stepsizes, residuals, iteration count, halt status), plus
+    per-iteration f-values (``record_fvals=True``) and backtrack
+    counts (``record_bts``, on by default here); ``best_index`` is the
+    best-objective iterate's index under the XLA path's
+    record_objective=False semantics (argmin residual — derived from
+    the exported residuals, bit-identical to an in-carry argmin).
+
+    ``status`` distinguishes WHY the solve stopped: "converged",
+    "max_iters", or "nonfinite" — the in-kernel nonfinite guard
+    (kernels/microsolver.halt_code) aborts the loop the iteration f/τ/
+    residual goes NaN/inf instead of silently burning max_iters (the
+    XLA path's guard_nonfinite analog).
 
     ``solution`` stays a DEVICE array (``np.asarray(r.solution)`` to
     fetch): pulling a 512×512 dual field to the host costs ~100 ms over
@@ -66,6 +79,14 @@ class MicroResult:
     # per-iteration f-values (XLA recorder's f_record semantics) when
     # the solve ran with record_fvals=True; None otherwise
     fvals: Optional[np.ndarray] = None
+    # why the solve stopped: "converged" | "max_iters" | "nonfinite"
+    status: str = "max_iters"
+    # per-iteration line-search trial counts + their total (the XLA
+    # recorder's backtracks/total_backtracks) when record_bts; None off
+    backtracks: Optional[np.ndarray] = None
+    total_backtracks: Optional[int] = None
+    # argmin-residual iterate index (record_objective=False semantics)
+    best_index: Optional[int] = None
 
 
 def _dispatch(problem: Problem):
@@ -158,7 +179,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                accelerate: bool = False, restart: bool = True,
                restart_dd: bool = False,
                stop_rule: str = "hybrid_residual",
-               record_fvals: bool = False,
+               record_fvals: bool = False, record_bts: bool = True,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
@@ -194,7 +215,11 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     "hybrid_residual" — the default — and "iterations"), with the
     solver's exact formulas.  ``record_fvals=True`` additionally
     records the per-iteration f-value (the recorder's f_record
-    semantics) into ``MicroResult.fvals``.
+    semantics) into ``MicroResult.fvals``; ``record_bts`` (default
+    True) records per-iteration line-search trial counts into
+    ``MicroResult.backtracks``/``total_backtracks`` (the same O(1)
+    accumulator-row pattern; ~1% of the dense iteration, pass False
+    for the bare-metal rate).
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
@@ -226,20 +251,29 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
-        interpret=interpret)
-    sol, taus, res, k, conv, fv = call(
+        record_bts=record_bts, interpret=interpret)
+    sol, taus, res, k, conv, fv, bts = call(
         b, x0, mu, jnp.asarray(tau0, jnp.float32))
 
     k = int(k)
+    status = _STATUS_NAMES[int(conv)]
+    res_h = np.asarray(res).reshape(-1)[:k]
+    bts_h = (np.asarray(bts).reshape(-1)[:k].astype(np.int64)
+             if bts is not None else None)
     return MicroResult(
         solution=sol,
         iteration_count=k,
-        converged=bool(conv),
-        residuals=np.asarray(res).reshape(-1)[:k],
+        converged=status == "converged",
+        residuals=res_h,
         taus=np.asarray(taus).reshape(-1)[:k],
         solve_time=time.perf_counter() - t0,
         fvals=(np.asarray(fv).reshape(-1)[:k] if fv is not None
                else None),
+        status=status,
+        backtracks=bts_h,
+        total_backtracks=(int(bts_h.sum()) if bts_h is not None
+                          else None),
+        best_index=(int(np.argmin(res_h)) if k > 0 else None),
     )
 
 
@@ -259,6 +293,11 @@ class MicroBatchResult:
     taus: list
     solve_time: float
     fvals: Optional[list] = None         # B arrays when record_fvals
+    # per-instance halt status strings (see MicroResult.status)
+    statuses: Optional[np.ndarray] = None
+    backtracks: Optional[list] = None    # B arrays when record_bts
+    total_backtracks: Optional[np.ndarray] = None   # (B,) int
+    best_indices: Optional[np.ndarray] = None       # (B,) int
 
 
 def microsolve_batch(problem: Problem, bs, x0s=None,
@@ -271,7 +310,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
                      accelerate: bool = False, restart: bool = True,
                      restart_dd: bool = False,
                      stop_rule: str = "hybrid_residual",
-                     record_fvals: bool = False,
+                     record_fvals: bool = False, record_bts: bool = True,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve a BATCH of instances sharing ``problem``'s operator in ONE
     kernel launch — the serving path for many-measurement workloads.
@@ -323,7 +362,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
-        interpret=interpret)
+        record_bts=record_bts, interpret=interpret)
 
     bs = jnp.asarray(bs, jnp.float32)
     if bs.ndim != b1.ndim + 1:
@@ -341,26 +380,37 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
     if tau0.ndim == 1 and tau0.shape != (B,):
         raise ValueError(f"per-instance tau0 shape {tau0.shape} != "
                          f"({B},)")
-    sols, taus, res, ks, convs, fvs = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts = jax.vmap(
         call, in_axes=(0, 0, None, 0 if tau0.ndim else None))(
         bs, x0s, mu1, tau0)
-    return _pack_batch(sols, taus, res, ks, convs, fvs, B, t0)
+    return _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0)
 
 
-def _pack_batch(sols, taus, res, ks, convs, fvs, B, t0):
+def _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0):
     ks_h = np.asarray(ks).reshape(B)
     taus_h = np.asarray(taus).reshape(B, -1)
     res_h = np.asarray(res).reshape(B, -1)
     fvs_h = None if fvs is None else np.asarray(fvs).reshape(B, -1)
+    bts_h = None if bts is None else np.asarray(bts).reshape(B, -1)
+    status_h = np.asarray(convs).reshape(B).astype(np.int64)
+    res_l = [res_h[i, :ks_h[i]] for i in range(B)]
     return MicroBatchResult(
         solutions=sols,
         iteration_counts=ks_h,
-        converged=np.asarray(convs).reshape(B) > 0,
-        residuals=[res_h[i, :ks_h[i]] for i in range(B)],
+        converged=status_h == 1,
+        residuals=res_l,
         taus=[taus_h[i, :ks_h[i]] for i in range(B)],
         solve_time=time.perf_counter() - t0,
         fvals=(None if fvs_h is None
                else [fvs_h[i, :ks_h[i]] for i in range(B)]),
+        statuses=np.array([_STATUS_NAMES[s] for s in status_h]),
+        backtracks=(None if bts_h is None else
+                    [bts_h[i, :ks_h[i]].astype(np.int64)
+                     for i in range(B)]),
+        total_backtracks=(None if bts_h is None else np.array(
+            [int(bts_h[i, :ks_h[i]].sum()) for i in range(B)])),
+        best_indices=np.array([int(np.argmin(r)) if r.size else -1
+                               for r in res_l]),
     )
 
 
@@ -374,7 +424,7 @@ def microsolve_sweep(problem: Problem, mus,
                      accelerate: bool = False, restart: bool = True,
                      restart_dd: bool = False,
                      stop_rule: str = "hybrid_residual",
-                     record_fvals: bool = False,
+                     record_fvals: bool = False, record_bts: bool = True,
                      warm_start: bool = False,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve the REGULARIZATION PATH in one kernel launch: one full
@@ -457,10 +507,12 @@ def microsolve_sweep(problem: Problem, mus,
                 max_backtracks=max_backtracks, interpret=interpret,
                 hp=(True if hp is None else hp), accelerate=accelerate,
                 restart=restart, restart_dd=restart_dd,
-                stop_rule=stop_rule, record_fvals=record_fvals)
+                stop_rule=stop_rule, record_fvals=record_fvals,
+                record_bts=record_bts)
             sols, taus, res, ks, convs = out[:5]
-            fvs = out[5] if record_fvals else None
-            return _pack_batch(sols, taus, res, ks, convs, fvs, B, t0)
+            fvs, bts = _tail_outputs(out, record_fvals, record_bts)
+            return _pack_batch(sols, taus, res, ks, convs, fvs, bts,
+                               B, t0)
         from .kernels.microsolver import microsolve_lasso_path
         loss, prox, _mu0 = detail
         A = jnp.asarray(problem.op.A, jnp.float32)
@@ -477,10 +529,11 @@ def microsolve_sweep(problem: Problem, mus,
             interpret=interpret, engine=engine or "vpu", prox=prox,
             loss=loss, hp=bool(hp), accelerate=accelerate,
             restart=restart, restart_dd=restart_dd,
-            stop_rule=stop_rule, record_fvals=record_fvals)
+            stop_rule=stop_rule, record_fvals=record_fvals,
+            record_bts=record_bts)
         sols, taus, res, ks, convs = out[:5]
-        fvs = out[5] if record_fvals else None
-        return _pack_batch(sols, taus, res, ks, convs, fvs, B, t0)
+        fvs, bts = _tail_outputs(out, record_fvals, record_bts)
+        return _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0)
 
     t0 = time.perf_counter()
     call, b1, x01, _mu1 = _kernel_call(
@@ -489,21 +542,35 @@ def microsolve_sweep(problem: Problem, mus,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
-        interpret=interpret)
+        record_bts=record_bts, interpret=interpret)
 
-    sols, taus, res, ks, convs, fvs = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts = jax.vmap(
         call, in_axes=(None, None, 0, None))(
         b1, x01, mus, jnp.asarray(tau0, jnp.float32))
-    return _pack_batch(sols, taus, res, ks, convs, fvs, B, t0)
+    return _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0)
+
+
+def _tail_outputs(out, record_fvals, record_bts):
+    """(fvals, bts) from a kernel wrapper's optional trailing outputs
+    (fvals first, then bts — the kernels' append order)."""
+    i = 5
+    fvs = bts = None
+    if record_fvals:
+        fvs = out[i]
+        i += 1
+    if record_bts:
+        bts = out[i]
+    return fvs, bts
 
 
 def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                  shrink_factor, max_backtracks, hp, engine, accelerate,
                  restart, restart_dd, interpret,
-                 stop_rule="hybrid_residual", record_fvals=False):
+                 stop_rule="hybrid_residual", record_fvals=False,
+                 record_bts=False):
     """Build ``(call, b, x0, mu)``: a ``call(b, x0, mu) -> (solution,
-    taus, residuals, k, converged, fvals-or-None)`` closure over the
-    problem's STATIC
+    taus, residuals, k, status, fvals-or-None, bts-or-None)`` closure
+    over the problem's STATIC
     data (operator matrices, anchors, kernel options) plus the
     instance's batchable leaves (measurements/labels b, start x0, and —
     dense/TV — the penalty weight μ, a runtime SMEM scalar in the
@@ -525,8 +592,10 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 max_backtracks=max_backtracks, interpret=interpret,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, engine=engine or "vpu",
-                stop_rule=stop_rule, record_fvals=record_fvals)
-            return out if record_fvals else out + (None,)
+                stop_rule=stop_rule, record_fvals=record_fvals,
+                record_bts=record_bts)
+            return out[:5] + _tail_outputs(out, record_fvals,
+                                           record_bts)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         mu = 0.0                    # PhaseMax has no penalty weight
@@ -547,8 +616,9 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 max_backtracks=max_backtracks, interpret=interpret,
                 hp=hp_tv, accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, stop_rule=stop_rule,
-                record_fvals=record_fvals)
-            return out if record_fvals else out + (None,)
+                record_fvals=record_fvals, record_bts=record_bts)
+            return out[:5] + _tail_outputs(out, record_fvals,
+                                           record_bts)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
     else:
@@ -565,10 +635,10 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 engine=engine or "vpu", prox=prox, loss=loss,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, stop_rule=stop_rule,
-                record_fvals=record_fvals)
+                record_fvals=record_fvals, record_bts=record_bts)
             x, taus, res, k, conv = out[:5]
-            fv = out[5] if record_fvals else None
-            return x.reshape(-1), taus, res, k, conv, fv
+            fv, bts = _tail_outputs(out, record_fvals, record_bts)
+            return x.reshape(-1), taus, res, k, conv, fv, bts
 
         data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
                 else problem.fterm.b)

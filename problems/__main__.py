@@ -29,6 +29,8 @@ QUICK_SIZES = {
     "matrix_completion": dict(d1=60, d2=60, rank=3),
     "max_norm": dict(d1=100, d2=20),
     "svm": dict(m=200, n=50),
+    "nmf": dict(d1=40, d2=30, rank=3),
+    "sparse_lasso": dict(m=300, n=600, density=0.05),
 }
 
 

@@ -1,0 +1,170 @@
+"""Round-5 microsolver result-contract features (round-4 VERDICT items
+4 and 5): the in-kernel NONFINITE guard + halt status code, and the C5
+backtrack-count / best-iterate fields.
+
+Nonfinite guard: a NaN-poisoned solve (e.g. a NaN τ₀) makes every
+stop-rule comparison False, so before the guard the kernels silently
+burned max_iters and returned converged=False with no cause.  Now
+``isfinite(f) & isfinite(τ) & isfinite(res)`` folds into the loop halt
+(kernels/microsolver.halt_code) and the status surfaces as
+MicroResult.status = "nonfinite" after an EARLY exit.
+
+C5 fields: per-iteration backtrack counts (record_bts, a fourth O(1)
+accumulator row) match the XLA recorder's backtracks; best_index is the
+argmin-residual iterate (the XLA/oracle best-iterate rule with
+record_objective=False).  With these, MicroResult matches FastaResult's
+contract minus only record_iterates and the objective series.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import problems
+from fasta_tpu.kernels.microsolver import microsolve_lasso
+from fasta_tpu.kernels.microsolver_planar import microsolve_planar_phasemax
+from fasta_tpu.kernels.microsolver_tv import microsolve_tv
+from fasta_tpu.micro import microsolve, microsolve_batch
+
+
+def _lasso(m=200, n=400, k=20):
+    return problems.build("lasso", m=m, n=n, k=k, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------- status
+
+
+@pytest.mark.parametrize("accelerate", [False, True])
+def test_dense_nonfinite_tau0_aborts_early(accelerate):
+    prob = _lasso()
+    inst = prob.instance
+    out = microsolve_lasso(
+        jnp.asarray(inst["A"], jnp.float32),
+        jnp.asarray(inst["b"], jnp.float32),
+        jnp.asarray(inst["x0"], jnp.float32),
+        math.nan, inst["mu"], max_iters=500, tol=1e-6, interpret=True,
+        hp=True, accelerate=accelerate)
+    k, status = int(out[3]), int(out[4])
+    assert status == 2, (k, status)
+    assert k <= 3, f"nonfinite abort should exit immediately, ran {k}"
+
+
+def test_tv_nonfinite_tau0_aborts_early():
+    ti = problems.build("tv", h=24, w=24, dtype=jnp.float32).instance
+    b = jnp.asarray(ti["b"], jnp.float32)
+    p0 = jnp.zeros((2,) + b.shape, jnp.float32)
+    out = microsolve_tv(b, p0, math.nan, ti["mu"], max_iters=500,
+                        tol=1e-5, interpret=True)
+    k, status = int(out[3]), int(out[4])
+    assert status == 2 and k <= 3, (k, status)
+
+
+def test_planar_nonfinite_tau0_aborts_early():
+    pr = problems.build("phase_retrieval", m=256, n=64, planar=True,
+                        dtype=jnp.float32)
+    out = microsolve_planar_phasemax(
+        jnp.asarray(pr.op.Ar), jnp.asarray(pr.op.Ai),
+        jnp.asarray(pr.fterm.b), jnp.asarray(pr.gterm.c),
+        jnp.asarray(pr.x0),
+        math.nan, max_iters=500, tol=1e-6, interpret=True)
+    k, status = int(out[3]), int(out[4])
+    assert status == 2 and k <= 3, (k, status)
+
+
+def test_microsolve_status_names():
+    prob = _lasso()
+    # healthy convergence
+    r = prob.microsolve(tau0=0.05, max_iters=300, tol=1e-6,
+                        interpret=True)
+    assert r.status == "converged" and r.converged
+    # iteration exhaustion
+    r = prob.microsolve(tau0=0.05, max_iters=5, tol=1e-6,
+                        stop_rule="iterations", interpret=True)
+    assert r.status == "max_iters" and not r.converged
+    # nonfinite abort — converged must be False even though the status
+    # code (2) is truthy
+    r = prob.microsolve(tau0=math.nan, max_iters=300, tol=1e-6,
+                        interpret=True)
+    assert r.status == "nonfinite" and not r.converged
+    assert r.iteration_count <= 3
+
+
+def test_batch_statuses_mixed():
+    """Per-instance τ₀ lets one batch mix healthy and poisoned solves;
+    the poisoned instance must not affect its neighbors."""
+    prob = _lasso(m=120, n=200, k=10)
+    inst = prob.instance
+    b = jnp.asarray(inst["b"], jnp.float32)
+    bs = jnp.stack([b, b, b])
+    r = microsolve_batch(prob, bs, tau0=jnp.asarray(
+        [0.05, math.nan, 0.05], jnp.float32),
+        max_iters=300, tol=1e-6, interpret=True)
+    assert list(r.statuses) == ["converged", "nonfinite", "converged"]
+    assert list(r.converged) == [True, False, True]
+    assert r.iteration_counts[1] <= 3
+    assert r.iteration_counts[0] == r.iteration_counts[2] > 3
+
+
+# ----------------------------------------------------- backtracks / best
+
+
+def test_backtracks_match_xla_recorder():
+    """record_bts counts == the XLA solver's per-iteration backtracks
+    on a matching trajectory (standard precision; the configuration of
+    test_microsolver_matches_xla_solver, which pins identical iteration
+    counts)."""
+    prob = _lasso()
+    prob.tau0 = 0.5          # big tau0 forces real line-search activity
+    rm = prob.microsolve(max_iters=100, tol=1e-6, interpret=True,
+                         hp=False)
+    rx = prob.solve(tol=1e-6, max_iters=100, fuse=False,
+                    precision="standard")
+    assert rm.iteration_count == rx.iteration_count
+    assert rm.backtracks is not None
+    assert rm.backtracks.sum() > 0, "tau0=0.5 must trigger backtracking"
+    np.testing.assert_array_equal(rm.backtracks,
+                                  rx.backtracks[:rm.iteration_count])
+    assert rm.total_backtracks == int(
+        rx.backtracks[:rm.iteration_count].sum())
+
+
+def test_best_index_is_argmin_residual():
+    prob = _lasso()
+    r = prob.microsolve(tau0=0.05, max_iters=100, tol=1e-6,
+                        interpret=True)
+    assert r.best_index == int(np.argmin(r.residuals))
+
+
+def test_record_bts_off_gives_none():
+    prob = _lasso()
+    r = prob.microsolve(tau0=0.05, max_iters=50, tol=1e-6,
+                        interpret=True, record_bts=False)
+    assert r.backtracks is None and r.total_backtracks is None
+    # best_index derives from residuals and survives record_bts=False
+    assert r.best_index is not None
+
+
+def test_batch_backtracks_match_singles():
+    prob = _lasso(m=120, n=200, k=10)
+    inst = prob.instance
+    b = jnp.asarray(inst["b"], jnp.float32)
+    rng = np.random.default_rng(0)
+    b2 = b + jnp.asarray(rng.standard_normal(b.shape) * 0.01,
+                         jnp.float32)
+    rb = microsolve_batch(prob, jnp.stack([b, b2]), tau0=0.05,
+                          max_iters=200, tol=1e-6, interpret=True)
+    for i, bi in enumerate([b, b2]):
+        # compare against the single-solve kernel path directly
+        out = microsolve_lasso(
+            jnp.asarray(inst["A"], jnp.float32), bi,
+            jnp.asarray(inst["x0"], jnp.float32),
+            0.05, inst["mu"], max_iters=200, tol=1e-6, interpret=True,
+            record_bts=True)
+        k = int(out[3])
+        assert rb.iteration_counts[i] == k
+        np.testing.assert_array_equal(rb.backtracks[i],
+                                      np.asarray(out[5][:k], np.int64))
+        assert rb.total_backtracks[i] == rb.backtracks[i].sum()
+    assert rb.best_indices is not None
