@@ -530,6 +530,42 @@ print(f"[12] round-4 features HW: residual-rule fvals match XLA "
       f"objectives match ({twv} vs {tcv} total iters — no-win finding "
       f"per microsolve_tv_path docstring)")
 
+# ---- 12b. round-5 features on chip ---------------------------------------
+# In-kernel nonfinite guard + status code, and the C5 backtrack-count
+# row — both are new lowerings (int32 halt in the carry, a fourth
+# accumulator row): interpret mode cannot certify them (CLAUDE.md).
+r12b = microsolve(pb, tau0=float("nan"), max_iters=400, tol=1e-5)
+assert r12b.status == "nonfinite" and not r12b.converged, (
+    r12b.status, r12b.iteration_count)
+assert r12b.iteration_count <= 3, r12b.iteration_count
+
+pb.tau0 = 0.5          # oversized tau0 forces real line-search activity
+r12c = microsolve(pb, max_iters=400, tol=1e-5)
+rx12c = pb.solve(tol=1e-5, max_iters=400, fuse=False,
+                 precision="standard")
+pb.tau0 = 0.05         # restore the check-12 setting
+assert r12c.status == "converged"
+assert r12c.iteration_count == rx12c.iteration_count
+assert r12c.backtracks is not None and r12c.backtracks.sum() > 0
+np.testing.assert_array_equal(
+    r12c.backtracks, np.asarray(rx12c.backtracks)[:r12c.iteration_count])
+assert r12c.best_index == int(np.argmin(r12c.residuals))
+
+# a poisoned instance inside a batch must not disturb its neighbors
+rb12b = microsolve_batch(
+    pb, jnp.stack([b10, b10, b10]),
+    tau0=jnp.asarray([0.05, float("nan"), 0.05], jnp.float32),
+    max_iters=400, tol=1e-5)
+assert list(rb12b.statuses) == ["converged", "nonfinite", "converged"]
+assert rb12b.iteration_counts[0] == rb12b.iteration_counts[2] > 3
+assert rb12b.iteration_counts[1] <= 3
+
+print(f"[12b] round-5 features HW: NaN-tau0 solve aborts in "
+      f"{r12b.iteration_count} iter(s) with status=nonfinite; backtrack "
+      f"row matches the XLA recorder ({int(r12c.backtracks.sum())} "
+      f"trials over {r12c.iteration_count} iters); poisoned batch lane "
+      f"isolated (statuses {list(rb12b.statuses)})")
+
 # ---- 13. full-solve STREAMING rows (512 MB, current session) --------------
 # Round-3 VERDICT missing #1: the quoted full-solve streaming numbers
 # (f32 1.78x / bf16 4.1x / logistic 1.81x) were 2026-08-17

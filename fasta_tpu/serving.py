@@ -25,13 +25,35 @@ The measured regimes (v5e, readback-barrier-subtracted; PERF.md):
 * **Out-of-scope structure, f64, or full diagnostics** → the XLA loop
   (single) / vmapped batch solver (batched).  The microsolvers cover a
   fixed set of VMEM-resident f32 structures and export
-  (taus, residuals[, fvals]) only.
+  (taus, residuals, backtracks, status[, fvals]) — the FastaResult
+  contract minus record_iterates and the objective series.
 
-The size crossover between the two batch paths was measured at the
-endpoints 64² (4,096 unknowns, XLA batch wins) and 512² (262,144
-unknowns, kernel batch wins); the threshold here is their geometric
-mean, 2¹⁵ = 32,768 unknowns.  Re-measure with
-``benchmarks/serving_bench.py`` when targeting shapes near the middle.
+The size crossover between the two batch paths is bracketed by NINE
+measured configs (benchmarks/serving_r5.log, live 2026-08-20,
+RTT-free chained timing for the sub-RTT dense rows; margins are
+winner/loser per-solve wall):
+
+    family   unknowns   batch   winner            margin
+    pr16384       512       4   — tie —           1.06x
+    pr16384       512      16   batch_solver      3.25x
+    pr16384       512      64   batch_solver      3.85x
+    lasso       2,000       8   — tie —           1.08x
+    lasso       2,000      32   batch_solver      2.11x
+    tv64        8,192      64   batch_solver      1.22x
+    tv128      32,768       8   microsolve_batch  2.68x
+    tv256     131,072       8   microsolve_batch  2.61x
+    tv512     524,288       8   microsolve_batch  3.70x
+
+Every config below the threshold picks the vmapped XLA batch solver
+(decisively at batch ≥ 16, where cross-instance MXU batching bites; a
+measured tie at tiny batches of small problems, where both paths are
+launch-bound), and every config at or above it picks the kernel batch
+by ≥ 2.6x — the 2¹⁵ = 32,768 threshold sits exactly on the measured
+boundary (largest measured batch_solver win: 8,192 unknowns; smallest
+measured kernel win: 32,768).  Margins under 1.25x are treated as ties
+by the bench (chip state drifts ~1.2-1.5x between sessions).
+``benchmarks/serving_bench.py`` re-asserts every row against live
+measurements each full run.
 """
 
 from __future__ import annotations
@@ -49,8 +71,10 @@ from .problem import Problem
 
 __all__ = ["ServingPlan", "recommend_path", "BATCH_CROSSOVER_UNKNOWNS"]
 
-# measured endpoints: 4,096 unknowns (64², vmapped XLA batch wins) and
-# 262,144 (512², microsolve_batch wins); geometric mean = 2**15
+# Bracketed by nine measured configs (module docstring table, live
+# 2026-08-20): batch_solver wins every row at <= 8,192 unknowns,
+# microsolve_batch every row at >= 32,768 — the threshold sits on the
+# measured boundary (tv128's dual field is exactly 2*128*128 = 2**15).
 BATCH_CROSSOVER_UNKNOWNS = 32_768
 
 
@@ -123,7 +147,8 @@ def recommend_path(problem: Problem, batch_size: int = 1, *,
 
     Static metadata decision — no compilation, no device work.
     ``need_full_diagnostics`` forces the XLA paths (the kernels export
-    taus/residuals[/fvals] only — C5 subset, micro.py).
+    taus/residuals/backtracks/status[/fvals] — everything but
+    record_iterates and the objective series; micro.py).
     """
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -132,8 +157,8 @@ def recommend_path(problem: Problem, batch_size: int = 1, *,
     f32 = dtype in (jnp.float32, jnp.complex64)
 
     if need_full_diagnostics or not supported or not f32:
-        cause = ("full diagnostics requested (kernels export "
-                 "taus/residuals[/fvals] only)" if need_full_diagnostics
+        cause = ("full diagnostics requested (kernels lack "
+                 "record_iterates/objectives)" if need_full_diagnostics
                  else (f"no whole-solve kernel: {why}" if not supported
                        else f"{np.dtype(dtype).name} solve (kernels are "
                             f"f32)"))
@@ -158,12 +183,14 @@ def recommend_path(problem: Problem, batch_size: int = 1, *,
             f"one-launch kernel batch — {n_unknowns} unknowns >= "
             f"{BATCH_CROSSOVER_UNKNOWNS} crossover; vmapping the XLA "
             f"loop does not amortize the dispatch tail at this size "
-            f"(measured 512²x8: 3.2x)",
+            f"(measured 2.6-3.7x at every config >= the threshold, "
+            f"serving.py evidence table)",
             problem, batch_size)
     return ServingPlan(
         "batch_solver",
         f"vmapped XLA batch solver — {n_unknowns} unknowns < "
         f"{BATCH_CROSSOVER_UNKNOWNS} crossover; small-problem "
         f"iterations are dispatch-tail-dominated, so cross-instance "
-        f"vectorization wins (measured 64²x64: 1.8x)",
+        f"vectorization wins (measured 2.1-3.9x at batch >= 16, a tie "
+        f"within 1.1x at tiny batches — serving.py evidence table)",
         problem, batch_size)

@@ -29,7 +29,7 @@ def test_large_batch_picks_kernel_batch():
     big = problems.build("tv", h=256, w=256, dtype=jnp.float32)
     plan = recommend_path(big, 8)
     assert plan.path == "microsolve_batch"
-    assert "3.2x" in plan.reason
+    assert "2.6-3.7x" in plan.reason
     small_plan = recommend_path(tv, 64)
     assert small_plan.path == "batch_solver"
     assert "dispatch-tail" in small_plan.reason
