@@ -24,9 +24,13 @@ REPO = Path(__file__).resolve().parents[2]
 # vmapped solver), so the multiplier only counts when the same line
 # also names the gradmap/one-pass context it was retracted from.
 _RETRACTED_EXACT = ("0.41 ms",)
+# 970x / 743x / 800x-of-25.8s: the TV oracle ratios computed against
+# the UNPINNED 25.8 s denominator (retired round 5 — the pinned wall
+# is 21.275 s, giving ~800x / ~613x for the same kernel walls)
 _RETRACTED_PAIRED = re.compile(
     r"3\.2[x×].*(gradmap|one-pass|one-read|two-pass)"
-    r"|(gradmap|one-pass|one-read|two-pass).*3\.2[x×]")
+    r"|(gradmap|one-pass|one-read|two-pass).*3\.2[x×]"
+    r"|(970|743)[x×].*oracle|oracle.*(970|743)[x×]")
 _CONTEXT = re.compile(r"retract|153%|artifact", re.IGNORECASE)
 _WINDOW = 3            # lines of surrounding context that may carry it
 
