@@ -218,8 +218,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     semantics) into ``MicroResult.fvals``; ``record_bts`` (default
     True) records per-iteration line-search trial counts into
     ``MicroResult.backtracks``/``total_backtracks`` (the same O(1)
-    accumulator-row pattern; ~1% of the dense iteration, pass False
-    for the bare-metal rate).
+    accumulator-row pattern; measured 0.2% of the dense iteration on
+    chip 2026-08-20 — within session noise — so the default is on).
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
