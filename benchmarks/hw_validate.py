@@ -540,16 +540,22 @@ assert r12b.status == "nonfinite" and not r12b.converged, (
 assert r12b.iteration_count <= 3, r12b.iteration_count
 
 pb.tau0 = 0.5          # oversized tau0 forces real line-search activity
-r12c = microsolve(pb, max_iters=400, tol=1e-5)
+r12c = microsolve(pb, max_iters=400, tol=1e-5, record_objs=True)
 rx12c = pb.solve(tol=1e-5, max_iters=400, fuse=False,
-                 precision="standard")
+                 precision="standard", record_objective=True)
 pb.tau0 = 0.05         # restore the check-12 setting
 assert r12c.status == "converged"
 assert r12c.iteration_count == rx12c.iteration_count
 assert r12c.backtracks is not None and r12c.backtracks.sum() > 0
 np.testing.assert_array_equal(
     r12c.backtracks, np.asarray(rx12c.backtracks)[:r12c.iteration_count])
-assert r12c.best_index == int(np.argmin(r12c.residuals))
+# objective series (record_objs, 5th accumulator row) matches the XLA
+# record_objective series on the same trajectory
+np.testing.assert_allclose(
+    r12c.objectives,
+    np.asarray(rx12c.objectives)[:r12c.iteration_count],
+    rtol=1e-4, atol=1e-5)
+assert r12c.best_index == int(np.argmin(r12c.objectives))
 
 # a poisoned instance inside a batch must not disturb its neighbors
 rb12b = microsolve_batch(
@@ -563,7 +569,8 @@ assert rb12b.iteration_counts[1] <= 3
 print(f"[12b] round-5 features HW: NaN-tau0 solve aborts in "
       f"{r12b.iteration_count} iter(s) with status=nonfinite; backtrack "
       f"row matches the XLA recorder ({int(r12c.backtracks.sum())} "
-      f"trials over {r12c.iteration_count} iters); poisoned batch lane "
+      f"trials over {r12c.iteration_count} iters); objective row "
+      f"matches record_objective (rtol 1e-4); poisoned batch lane "
       f"isolated (statuses {list(rb12b.statuses)})")
 
 # ---- 13. full-solve STREAMING rows (512 MB, current session) --------------

@@ -107,7 +107,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  hp=False, accelerate=False, restart=True,
                  restart_dd=False, loss="lstsq",
                  stop_rule="hybrid_residual", record_fvals=False,
-                 record_bts=False, warm_sweep=False):
+                 record_bts=False, record_objs=False, warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
@@ -131,8 +131,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     mxu_prec = jax.lax.Precision.HIGHEST
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
-               x_ref, taus_ref, res_ref, fv_ref, bt_ref, k_ref, conv_ref,
-               *scr):
+               x_ref, taus_ref, res_ref, fv_ref, bt_ref, obj_ref,
+               k_ref, conv_ref, *scr):
         if warm_sweep:
             xprev_scr, tprev_scr = scr
         A = A_ref[:]                       # (m, n) pinned in VMEM
@@ -161,6 +161,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        obj_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -194,6 +195,18 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                                 bt.astype(jnp.float32), btrow_c)
             bt_ref[pl.ds(row, 1), :] = btrow_n
             return btrow_n
+
+        def record_obj(k, ov, orow_c):
+            """Optional objective row (C5 parity: objectives[k] =
+            f(x1) + g(x1) at the PROX point — solver.py's
+            record_objective formula; g is analytic per prox family,
+            see gval)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            orow_n = jnp.where(lane128 == lane, ov, orow_c)
+            obj_ref[pl.ds(row, 1), :] = orow_n
+            return orow_n
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -261,15 +274,27 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 mag = jnp.abs(z)
                 return z * (jnp.maximum(mag - t, 0.0)
                             / jnp.maximum(mag, 1e-30))
+
+            def gval(x):
+                return mu * jnp.sum(jnp.abs(x))
         elif prox == "nonneg":
             def shrink(z, t):
                 return jnp.maximum(z, 0.0)
+
+            def gval(x):                   # indicator: 0 on the set
+                return jnp.zeros((), jnp.float32)
         elif prox == "box":
             def shrink(z, t):
                 return jnp.clip(z, -1.0, 1.0)
+
+            def gval(x):                   # indicator: 0 on the set
+                return jnp.zeros((), jnp.float32)
         elif prox == "ridge":
             def shrink(z, t):
                 return z / (1.0 + t)           # t = τ·λ (mu carries λ)
+
+            def gval(x):                       # (λ/2)‖x‖², mu carries λ
+                return 0.5 * mu * jnp.sum(x * x)
         else:                              # pragma: no cover
             raise ValueError(f"unknown prox {prox!r}")
 
@@ -382,6 +407,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             def body(c):
                 if warm_sweep:
                     *c, _tacc_c = c
+                if record_objs:
+                    *c, orow_c = c
                 if record_bts:
                     *c, btrow_c = c
                 if record_fvals:
@@ -448,6 +475,11 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     out += (record_f(k, f_plain(f_rec), frow_c),)
                 if record_bts:
                     out += (record_bt(k, bt, btrow_c),)
+                if record_objs:
+                    # prox-point objective (f1 at x1, pre-extrapolation
+                    # — solver.py's record_objective formula)
+                    out += (record_obj(k, f_plain(f1) + gval(x1),
+                                       orow_c),)
                 if warm_sweep:
                     # last genuinely ACCEPTED stepsize — a backtrack-
                     # exhausted tau (typical of the final converged
@@ -466,6 +498,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if record_bts:
+                init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_objs:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if warm_sweep:
                 init += (jnp.zeros((), jnp.float32),)
@@ -495,6 +529,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         def body(c):
             if warm_sweep:
                 *c, _tacc_c = c
+            if record_objs:
+                *c, orow_c = c
             if record_bts:
                 *c, btrow_c = c
             if record_fvals:
@@ -550,6 +586,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 out += (record_f(k, f_plain(f1), frow_c),)
             if record_bts:
                 out += (record_bt(k, bt, btrow_c),)
+            if record_objs:
+                out += (record_obj(k, f_plain(f1) + gval(x1), orow_c),)
             if warm_sweep:
                 # genuinely accepted only — see the accelerate body
                 out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
@@ -563,6 +601,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if record_bts:
+            init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_objs:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if warm_sweep:
             init += (jnp.zeros((), jnp.float32),)
@@ -588,14 +628,15 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss",
-                     "stop_rule", "record_fvals", "record_bts"))
+                     "stop_rule", "record_fvals", "record_bts",
+                     "record_objs"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                      interpret=False, engine="vpu", prox="l1",
                      hp=False, accelerate=False, restart=True,
                      restart_dd=False, loss="lstsq",
                      stop_rule="hybrid_residual", record_fvals=False,
-                     record_bts=False):
+                     record_bts=False, record_objs=False):
     """Whole-solve kernel for  min f(Ax) + g(x)  with f selected by
     ``loss``: "lstsq" (½‖·−b‖²), "logistic" (Σlog(1+exp(·))−bᵀ·, labels
     b ∈ {0,1}) or "squared_hinge" (½Σmax(0,1−b⊙·)², labels b ∈ {±1});
@@ -620,11 +661,15 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     trial's f in adaptive mode, f at the next search point under
     FISTA) and appends it to the return tuple; ``record_bts=True``
     records line-search trial counts per iteration (the recorder's
-    backtracks field) and appends them after fvals.
+    backtracks field) and appends them after fvals;
+    ``record_objs=True`` records the prox-point objective
+    f(x₁) + g(x₁) per iteration (solver.py's record_objective formula
+    — g analytic per prox family) and appends it after bts.
 
     Returns (x, taus[max_iters], residuals[max_iters], iteration_count,
     status) — plus fvals[max_iters] when ``record_fvals``, plus
-    bts[max_iters] (f32 counts) when ``record_bts``.  ``status`` is an
+    bts[max_iters] (f32 counts) when ``record_bts``, plus
+    objs[max_iters] when ``record_objs``.  ``status`` is an
     int32 halt code, truthiness-compatible with the old converged bool:
     0 = max_iters exhausted, 1 = converged, 2 = NONFINITE abort (f/τ/
     residual went NaN/inf; see halt_code — without the in-kernel guard
@@ -636,14 +681,15 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss,
-                        stop_rule, record_fvals, record_bts)
+                        stop_rule, record_fvals, record_bts,
+                        record_objs)
     # τ₀ and μ ride the SMEM scalar vector: μ is a traced leaf (one
     # executable per option set serves every penalty weight; vmap over
     # it = in-kernel regularization path).  Shape (1,2) — see the
     # kernel comment on Mosaic's batched-SMEM block rule.
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    x, taus, res, fv, bts, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (1,n)
@@ -657,11 +703,13 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # res rows
             pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals rows
             pl.BlockSpec(memory_space=pltpu.VMEM),      # bts rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # objs rows
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k (1,1)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # status (1,1)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
@@ -682,6 +730,8 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         out += (fv.reshape(kpad)[:max_iters],)
     if record_bts:
         out += (bts.reshape(kpad)[:max_iters],)
+    if record_objs:
+        out += (objs.reshape(kpad)[:max_iters],)
     return out
 
 
@@ -690,14 +740,16 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss",
-                     "stop_rule", "record_fvals", "record_bts"))
+                     "stop_rule", "record_fvals", "record_bts",
+                     "record_objs"))
 def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                           tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                           interpret=False, engine="vpu", prox="l1",
                           hp=False, accelerate=False, restart=True,
                           restart_dd=False, loss="lstsq",
                           stop_rule="hybrid_residual",
-                          record_fvals=False, record_bts=False):
+                          record_fvals=False, record_bts=False,
+                          record_objs=False):
     """WARM-STARTED regularization path in ONE kernel launch: an
     explicit sequential grid over the B entries of ``mus`` (strongest
     penalty first, the classic continuation order) where path point i
@@ -715,7 +767,8 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
 
     Returns (xs: (B,n), taus: (B,max_iters), residuals: (B,max_iters),
     ks: (B,), status: (B,) int32 — see microsolve_lasso) — plus fvals
-    (B,max_iters) when ``record_fvals``, plus bts when ``record_bts``.
+    (B,max_iters) when ``record_fvals``, plus bts when ``record_bts``,
+    plus objs when ``record_objs``.
     A nonfinite abort (status 2) at path point i does NOT poison point
     i+1: the warm carry falls back to the caller's cold x0/tau0.
     """
@@ -727,7 +780,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss,
                         stop_rule, record_fvals, record_bts,
-                        warm_sweep=True)
+                        record_objs, warm_sweep=True)
     ts = jnp.stack([jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
                     jnp.asarray(mus, jnp.float32)],
                    axis=-1).reshape(B, 1, 2)
@@ -743,7 +796,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                              memory_space=pltpu.VMEM)
     rows_shape = jax.ShapeDtypeStruct((B, kpad // 128, 128),
                                       jnp.float32)
-    x, taus, res, fv, bts, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -763,6 +816,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
             rows_spec,                                      # res_i
             rows_spec,                                      # fvals_i
             rows_spec,                                      # bts_i
+            rows_spec,                                      # objs_i
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),          # k_i
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
@@ -770,6 +824,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+            rows_shape,
             rows_shape,
             rows_shape,
             rows_shape,
@@ -793,4 +848,6 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
         out += (fv.reshape(B, kpad)[:, :max_iters],)
     if record_bts:
         out += (bts.reshape(B, kpad)[:, :max_iters],)
+    if record_objs:
+        out += (objs.reshape(B, kpad)[:, :max_iters],)
     return out

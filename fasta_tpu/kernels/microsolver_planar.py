@@ -67,7 +67,8 @@ def supports_planar_microsolver(m: int, n: int) -> bool:
 def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate, restart,
                  restart_dd, engine, stop_rule="hybrid_residual",
-                 record_fvals=False, record_bts=False):
+                 record_fvals=False, record_bts=False,
+                 record_objs=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows2
     from .microsolver import halt_code, stop_from_rule
@@ -110,7 +111,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     nchunks = m // rc
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
-               x_ref, taus_ref, res_ref, fv_ref, bt_ref, k_ref, conv_ref,
+               x_ref, taus_ref, res_ref, fv_ref, bt_ref, obj_ref,
+               k_ref, conv_ref,
                dscr_r, dscr_i, yscr_r, yscr_i, pscr_r, pscr_i):
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
@@ -124,6 +126,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        obj_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -155,6 +158,21 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                                 bt.astype(jnp.float32), btrow_c)
             bt_ref[pl.ds(row, 1), :] = btrow_n
             return btrow_n
+
+        def record_obj(k, ov, orow_c):
+            """Optional objective row: f(x₁) + g(x₁) at the prox point
+            with g(x) = −⟨c, x⟩ (C5 parity — kernels/microsolver.py
+            record_obj)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            orow_n = jnp.where(lane128 == lane, ov, orow_c)
+            obj_ref[pl.ds(row, 1), :] = orow_n
+            return orow_n
+
+        def gval(x1r, x1i):
+            """g(x) = −⟨c, x⟩ over both planar channels."""
+            return -(jnp.sum(c[0:1] * x1r) + jnp.sum(c[1:2] * x1i))
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -312,6 +330,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
         if accelerate:
             def body(cy):
+                if record_objs:
+                    *cy, orow_c = cy
                 if record_bts:
                     *cy, btrow_c = cy
                 if record_fvals:
@@ -382,6 +402,10 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     out += (record_f(k, f_plain(f_rec), frow_c),)
                 if record_bts:
                     out += (record_bt(k, bt, btrow_c),)
+                if record_objs:
+                    # prox-point objective, pre-extrapolation
+                    out += (record_obj(k, f_plain(f1) + gval(x1r, x1i),
+                                       orow_c),)
                 return out
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -393,6 +417,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if record_bts:
+                init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_objs:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             (k, halt, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
              _rr, xar_f, xai_f, _dr, _di,
@@ -406,6 +432,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             return
 
         def body(cy):
+            if record_objs:
+                *cy, orow_c = cy
             if record_bts:
                 *cy, btrow_c = cy
             if record_fvals:
@@ -464,6 +492,9 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 out += (record_f(k, f_plain(f1), frow_c),)
             if record_bts:
                 out += (record_bt(k, bt, btrow_c),)
+            if record_objs:
+                out += (record_obj(k, f_plain(f1) + gval(x1r, x1i),
+                                   orow_c),)
             return out
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -474,6 +505,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if record_bts:
+            init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_objs:
             init += (jnp.zeros((1, 128), jnp.float32),)
         (k, halt, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
          _rr) = jax.lax.while_loop(cond, body, init)[:12]
@@ -490,21 +523,23 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "engine", "stop_rule",
-                     "record_fvals", "record_bts"))
+                     "record_fvals", "record_bts", "record_objs"))
 def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                window=10, tol=1e-3, shrink_factor=0.2,
                                max_backtracks=20, interpret=False,
                                hp=False, accelerate=False, restart=True,
                                restart_dd=False, engine="vpu",
                                stop_rule="hybrid_residual",
-                               record_fvals=False, record_bts=False):
+                               record_fvals=False, record_bts=False,
+                               record_objs=False):
     """Whole-solve kernel for planar PhaseMax
     ``min ½Σ max(|Ax|−b,0)² − ⟨c,x⟩`` (adaptive BB or FISTA mode).
 
     Ar/Ai: (m,n) real channel matrices; b: (m,) magnitudes; c: (n,2)
     planar anchor; x0: (n,2) planar start.  Returns (x: (n,2), taus,
     residuals, iteration_count, status) — plus fvals when
-    ``record_fvals``, plus bts when ``record_bts``.  ``status`` is the
+    ``record_fvals``, plus bts when ``record_bts``, plus objs
+    (prox-point f(x₁) − ⟨c, x₁⟩) when ``record_objs``.  ``status`` is the
     int32 halt code of kernels/microsolver.halt_code (0 max_iters /
     1 converged / 2 nonfinite abort; truthiness-compatible with the
     old converged bool).  Same option semantics as the dense microsolver
@@ -528,9 +563,9 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd, engine, stop_rule, record_fvals,
-                        record_bts)
+                        record_bts, record_objs)
     ts = jnp.asarray(tau0, jnp.float32).reshape(1, 1)
-    x, taus, res, fv, bts, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (2,n)
@@ -546,11 +581,13 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # res
             pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals
             pl.BlockSpec(memory_space=pltpu.VMEM),      # bts
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # objs
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k
             pl.BlockSpec(memory_space=pltpu.SMEM),      # status
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
@@ -586,4 +623,6 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
         out += (fv.reshape(kpad)[:max_iters],)
     if record_bts:
         out += (bts.reshape(kpad)[:max_iters],)
+    if record_objs:
+        out += (objs.reshape(kpad)[:max_iters],)
     return out

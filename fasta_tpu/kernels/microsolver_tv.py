@@ -34,7 +34,8 @@ _WPAD = 128
 def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
                  restart_dd=False, stop_rule="hybrid_residual",
-                 record_fvals=False, record_bts=False, warm_sweep=False):
+                 record_fvals=False, record_bts=False, record_objs=False,
+                 warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows2, dd_reduce
     from .microsolver import halt_code, stop_from_rule
@@ -46,8 +47,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
     # (kernels/microsolver.py warm_sweep notes).
 
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
-               xv_ref, xh_ref, taus_ref, res_ref, fv_ref, bt_ref, k_ref,
-               conv_ref, *scr):
+               xv_ref, xh_ref, taus_ref, res_ref, fv_ref, bt_ref,
+               obj_ref, k_ref, conv_ref, *scr):
         if warm_sweep:
             pvprev_scr, phprev_scr, tprev_scr = scr
         b = b_ref[:]
@@ -67,6 +68,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         res_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        obj_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -98,6 +100,19 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                                 bt.astype(jnp.float32), btrow_c)
             bt_ref[pl.ds(row, 1), :] = btrow_n
             return btrow_n
+
+        def record_obj(k, ov, orow_c):
+            """Optional objective row.  The TV dual's g is the box
+            indicator (0 at every prox point), so objectives[k] is the
+            PROX-POINT f — distinct from the fvals ring, which records
+            f at the NEXT search point under FISTA (window
+            semantics)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            orow_n = jnp.where(lane128 == lane, ov, orow_c)
+            obj_ref[pl.ds(row, 1), :] = orow_n
+            return orow_n
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -263,6 +278,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             def body(c):
                 if warm_sweep:
                     *c, _tacc_c = c
+                if record_objs:
+                    *c, orow_c = c
                 if record_bts:
                     *c, btrow_c = c
                 if record_fvals:
@@ -339,6 +356,9 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                     out += (record_f(k, f_plain(f_rec), frow_c),)
                 if record_bts:
                     out += (record_bt(k, bt, btrow_c),)
+                if record_objs:
+                    # prox-point objective (g = box indicator = 0)
+                    out += (record_obj(k, f_plain(f1), orow_c),)
                 if warm_sweep:
                     # genuinely ACCEPTED stepsize only (see the dense
                     # kernel's accelerate body note)
@@ -355,6 +375,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             if record_fvals:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if record_bts:
+                init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_objs:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if warm_sweep:
                 init += (jnp.zeros((), jnp.float32),)
@@ -392,6 +414,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         def body(c):
             if warm_sweep:
                 *c, _tacc_c = c
+            if record_objs:
+                *c, orow_c = c
             if record_bts:
                 *c, btrow_c = c
             if record_fvals:
@@ -450,6 +474,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 out += (record_f(k, f_plain(f1), frow_c),)
             if record_bts:
                 out += (record_bt(k, bt, btrow_c),)
+            if record_objs:
+                out += (record_obj(k, f_plain(f1), orow_c),)
             if warm_sweep:
                 # genuinely accepted only — see the accelerate body
                 out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
@@ -463,6 +489,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         if record_fvals:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if record_bts:
+            init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_objs:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if warm_sweep:
             init += (jnp.zeros((), jnp.float32),)
@@ -490,18 +518,22 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "stop_rule",
-                     "record_fvals", "record_bts"))
+                     "record_fvals", "record_bts", "record_objs"))
 def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
                   shrink_factor=0.2, max_backtracks=20, interpret=False,
                   hp=True, accelerate=False, restart=True,
                   restart_dd=False, stop_rule="hybrid_residual",
-                  record_fvals=False, record_bts=False):
+                  record_fvals=False, record_bts=False,
+                  record_objs=False):
     """Whole-solve kernel for the TV dual (adaptive BB or FISTA mode).
 
     b: (H,W) noisy image; p0: (2,H,W) dual init.  Returns
     (p: (2,H,W), taus, residuals, iteration_count, status) — plus
     fvals when ``record_fvals``, plus bts (per-iteration line-search
-    trial counts, f32) when ``record_bts``.  ``status`` is the int32
+    trial counts, f32) when ``record_bts``, plus objs (prox-point
+    objectives; the dual's g is the box indicator, so objs is the
+    prox-point f — distinct from the fvals ring under FISTA) when
+    ``record_objs``.  ``status`` is the int32
     halt code of kernels/microsolver.halt_code (0 max_iters /
     1 converged / 2 nonfinite abort; truthiness-compatible with the
     old converged bool).  ``stop_rule`` selects among the XLA
@@ -543,10 +575,11 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     kpad = ((max_iters + 127) // 128) * 128
     kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
-                        restart_dd, stop_rule, record_fvals, record_bts)
+                        restart_dd, stop_rule, record_fvals, record_bts,
+                        record_objs)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    xv, xh, taus, res, fv, bts, k, conv = pl.pallas_call(
+    xv, xh, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b
@@ -561,12 +594,14 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
@@ -585,6 +620,8 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
         out += (fv.reshape(kpad)[:max_iters],)
     if record_bts:
         out += (bts.reshape(kpad)[:max_iters],)
+    if record_objs:
+        out += (objs.reshape(kpad)[:max_iters],)
     return out
 
 
@@ -593,13 +630,13 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "stop_rule",
-                     "record_fvals", "record_bts"))
+                     "record_fvals", "record_bts", "record_objs"))
 def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
                        tol=1e-5, shrink_factor=0.2, max_backtracks=20,
                        interpret=False, hp=True, accelerate=False,
                        restart=True, restart_dd=False,
                        stop_rule="hybrid_residual", record_fvals=False,
-                       record_bts=False):
+                       record_bts=False, record_objs=False):
     """WARM-STARTED denoising-strength path in ONE kernel launch: an
     explicit sequential grid over the B entries of ``mus`` where path
     point i starts from point i-1's dual field and last accepted
@@ -631,9 +668,9 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
     Returns (ps: (B,2,H,W), taus: (B,max_iters), residuals:
     (B,max_iters), ks: (B,), status: (B,) int32 — see microsolve_tv) —
     plus fvals (B,max_iters) when ``record_fvals``, plus bts when
-    ``record_bts``.  A nonfinite abort (status 2) at path point i
-    does not poison point i+1 (cold fallback, as in
-    microsolve_lasso_path).
+    ``record_bts``, plus objs when ``record_objs``.  A nonfinite abort
+    (status 2) at path point i does not poison point i+1 (cold
+    fallback, as in microsolve_lasso_path).
     """
     from .microsolver import check_stop_rule
     check_stop_rule(stop_rule)
@@ -643,7 +680,7 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
     kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd, stop_rule, record_fvals, record_bts,
-                        warm_sweep=True)
+                        record_objs, warm_sweep=True)
     ts = jnp.stack(
         [jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
          jnp.asarray(mus, jnp.float32)], axis=-1).reshape(B, 1, 2)
@@ -660,7 +697,7 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
                               memory_space=pltpu.VMEM)
     scal_spec = pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    xv, xh, taus, res, fv, bts, k, conv = pl.pallas_call(
+    xv, xh, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -680,12 +717,14 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
             rows_spec,                                   # res_i
             rows_spec,                                   # fvals_i
             rows_spec,                                   # bts_i
+            rows_spec,                                   # objs_i
             scal_spec,                                   # k_i
             scal_spec,                                   # status_i
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, h, w), jnp.float32),
             jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            rows_shape,
             rows_shape,
             rows_shape,
             rows_shape,
@@ -711,4 +750,6 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
         out += (fv.reshape(B, kpad)[:, :max_iters],)
     if record_bts:
         out += (bts.reshape(B, kpad)[:, :max_iters],)
+    if record_objs:
+        out += (objs.reshape(B, kpad)[:, :max_iters],)
     return out

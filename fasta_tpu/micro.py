@@ -48,13 +48,15 @@ class MicroResult:
 
     Matches :class:`~fasta_tpu.solver.FastaResult`'s contract minus
     only ``record_iterates`` (no in-kernel analog by design: VMEM) and
-    the objective/normalized-residual series: the kernels record
-    (stepsizes, residuals, iteration count, halt status), plus
-    per-iteration f-values (``record_fvals=True``) and backtrack
-    counts (``record_bts``, on by default here); ``best_index`` is the
-    best-objective iterate's index under the XLA path's
-    record_objective=False semantics (argmin residual — derived from
-    the exported residuals, bit-identical to an in-carry argmin).
+    the normalized-residual series: the kernels record (stepsizes,
+    residuals, iteration count, halt status), plus per-iteration
+    f-values (``record_fvals=True``), backtrack counts (``record_bts``,
+    on by default here) and prox-point objectives f(x₁)+g(x₁)
+    (``record_objs=True`` — g analytic per kernel family; solver.py's
+    record_objective formula).  ``best_index`` is the best-objective
+    iterate's index: argmin objectives when they were recorded, else
+    argmin residual — exactly the XLA path's new_obj rule — derived
+    from the exported series, bit-identical to an in-carry argmin.
 
     ``status`` distinguishes WHY the solve stopped: "converged",
     "max_iters", or "nonfinite" — the in-kernel nonfinite guard
@@ -85,8 +87,11 @@ class MicroResult:
     # recorder's backtracks/total_backtracks) when record_bts; None off
     backtracks: Optional[np.ndarray] = None
     total_backtracks: Optional[int] = None
-    # argmin-residual iterate index (record_objective=False semantics)
+    # best-objective iterate index: argmin objectives when recorded,
+    # else argmin residual (the XLA new_obj rule)
     best_index: Optional[int] = None
+    # per-iteration prox-point objectives when record_objs; None off
+    objectives: Optional[np.ndarray] = None
 
 
 def _dispatch(problem: Problem):
@@ -180,6 +185,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                restart_dd: bool = False,
                stop_rule: str = "hybrid_residual",
                record_fvals: bool = False, record_bts: bool = True,
+               record_objs: bool = False,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
@@ -219,7 +225,12 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     True) records per-iteration line-search trial counts into
     ``MicroResult.backtracks``/``total_backtracks`` (the same O(1)
     accumulator-row pattern; measured 0.2% of the dense iteration on
-    chip 2026-08-20 — within session noise — so the default is on).
+    chip 2026-08-20 — within session noise — so the default is on);
+    ``record_objs=True`` records the prox-point objective series
+    f(x₁)+g(x₁) into ``MicroResult.objectives`` (solver.py's
+    record_objective formula; g analytic per kernel family — μ‖x‖₁,
+    indicators, (λ/2)‖x‖², −⟨c,x⟩) and switches ``best_index`` to
+    argmin-objective (the XLA new_obj rule).
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
@@ -251,8 +262,9 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
-        record_bts=record_bts, interpret=interpret)
-    sol, taus, res, k, conv, fv, bts = call(
+        record_bts=record_bts, record_objs=record_objs,
+        interpret=interpret)
+    sol, taus, res, k, conv, fv, bts, objs = call(
         b, x0, mu, jnp.asarray(tau0, jnp.float32))
 
     k = int(k)
@@ -260,6 +272,9 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     res_h = np.asarray(res).reshape(-1)[:k]
     bts_h = (np.asarray(bts).reshape(-1)[:k].astype(np.int64)
              if bts is not None else None)
+    objs_h = (np.asarray(objs).reshape(-1)[:k] if objs is not None
+              else None)
+    best_series = objs_h if objs_h is not None else res_h
     return MicroResult(
         solution=sol,
         iteration_count=k,
@@ -273,7 +288,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         backtracks=bts_h,
         total_backtracks=(int(bts_h.sum()) if bts_h is not None
                           else None),
-        best_index=(int(np.argmin(res_h)) if k > 0 else None),
+        best_index=(int(np.argmin(best_series)) if k > 0 else None),
+        objectives=objs_h,
     )
 
 
@@ -298,6 +314,7 @@ class MicroBatchResult:
     backtracks: Optional[list] = None    # B arrays when record_bts
     total_backtracks: Optional[np.ndarray] = None   # (B,) int
     best_indices: Optional[np.ndarray] = None       # (B,) int
+    objectives: Optional[list] = None    # B arrays when record_objs
 
 
 def microsolve_batch(problem: Problem, bs, x0s=None,
@@ -311,6 +328,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
                      restart_dd: bool = False,
                      stop_rule: str = "hybrid_residual",
                      record_fvals: bool = False, record_bts: bool = True,
+                     record_objs: bool = False,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve a BATCH of instances sharing ``problem``'s operator in ONE
     kernel launch — the serving path for many-measurement workloads.
@@ -362,7 +380,8 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
-        record_bts=record_bts, interpret=interpret)
+        record_bts=record_bts, record_objs=record_objs,
+        interpret=interpret)
 
     bs = jnp.asarray(bs, jnp.float32)
     if bs.ndim != b1.ndim + 1:
@@ -380,20 +399,25 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
     if tau0.ndim == 1 and tau0.shape != (B,):
         raise ValueError(f"per-instance tau0 shape {tau0.shape} != "
                          f"({B},)")
-    sols, taus, res, ks, convs, fvs, bts = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts, objs = jax.vmap(
         call, in_axes=(0, 0, None, 0 if tau0.ndim else None))(
         bs, x0s, mu1, tau0)
-    return _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0)
+    return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
+                       B, t0)
 
 
-def _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0):
+def _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs, B, t0):
     ks_h = np.asarray(ks).reshape(B)
     taus_h = np.asarray(taus).reshape(B, -1)
     res_h = np.asarray(res).reshape(B, -1)
     fvs_h = None if fvs is None else np.asarray(fvs).reshape(B, -1)
     bts_h = None if bts is None else np.asarray(bts).reshape(B, -1)
+    objs_h = None if objs is None else np.asarray(objs).reshape(B, -1)
     status_h = np.asarray(convs).reshape(B).astype(np.int64)
     res_l = [res_h[i, :ks_h[i]] for i in range(B)]
+    objs_l = (None if objs_h is None
+              else [objs_h[i, :ks_h[i]] for i in range(B)])
+    best_ls = objs_l if objs_l is not None else res_l
     return MicroBatchResult(
         solutions=sols,
         iteration_counts=ks_h,
@@ -410,7 +434,8 @@ def _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0):
         total_backtracks=(None if bts_h is None else np.array(
             [int(bts_h[i, :ks_h[i]].sum()) for i in range(B)])),
         best_indices=np.array([int(np.argmin(r)) if r.size else -1
-                               for r in res_l]),
+                               for r in best_ls]),
+        objectives=objs_l,
     )
 
 
@@ -425,6 +450,7 @@ def microsolve_sweep(problem: Problem, mus,
                      restart_dd: bool = False,
                      stop_rule: str = "hybrid_residual",
                      record_fvals: bool = False, record_bts: bool = True,
+                     record_objs: bool = False,
                      warm_start: bool = False,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve the REGULARIZATION PATH in one kernel launch: one full
@@ -508,11 +534,12 @@ def microsolve_sweep(problem: Problem, mus,
                 hp=(True if hp is None else hp), accelerate=accelerate,
                 restart=restart, restart_dd=restart_dd,
                 stop_rule=stop_rule, record_fvals=record_fvals,
-                record_bts=record_bts)
+                record_bts=record_bts, record_objs=record_objs)
             sols, taus, res, ks, convs = out[:5]
-            fvs, bts = _tail_outputs(out, record_fvals, record_bts)
+            fvs, bts, objs = _tail_outputs(out, record_fvals,
+                                           record_bts, record_objs)
             return _pack_batch(sols, taus, res, ks, convs, fvs, bts,
-                               B, t0)
+                               objs, B, t0)
         from .kernels.microsolver import microsolve_lasso_path
         loss, prox, _mu0 = detail
         A = jnp.asarray(problem.op.A, jnp.float32)
@@ -530,10 +557,12 @@ def microsolve_sweep(problem: Problem, mus,
             loss=loss, hp=bool(hp), accelerate=accelerate,
             restart=restart, restart_dd=restart_dd,
             stop_rule=stop_rule, record_fvals=record_fvals,
-            record_bts=record_bts)
+            record_bts=record_bts, record_objs=record_objs)
         sols, taus, res, ks, convs = out[:5]
-        fvs, bts = _tail_outputs(out, record_fvals, record_bts)
-        return _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0)
+        fvs, bts, objs = _tail_outputs(out, record_fvals, record_bts,
+                                       record_objs)
+        return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
+                           B, t0)
 
     t0 = time.perf_counter()
     call, b1, x01, _mu1 = _kernel_call(
@@ -542,35 +571,41 @@ def microsolve_sweep(problem: Problem, mus,
         max_backtracks=max_backtracks, hp=hp, engine=engine,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
-        record_bts=record_bts, interpret=interpret)
+        record_bts=record_bts, record_objs=record_objs,
+        interpret=interpret)
 
-    sols, taus, res, ks, convs, fvs, bts = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts, objs = jax.vmap(
         call, in_axes=(None, None, 0, None))(
         b1, x01, mus, jnp.asarray(tau0, jnp.float32))
-    return _pack_batch(sols, taus, res, ks, convs, fvs, bts, B, t0)
+    return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
+                       B, t0)
 
 
-def _tail_outputs(out, record_fvals, record_bts):
-    """(fvals, bts) from a kernel wrapper's optional trailing outputs
-    (fvals first, then bts — the kernels' append order)."""
+def _tail_outputs(out, record_fvals, record_bts, record_objs=False):
+    """(fvals, bts, objs) from a kernel wrapper's optional trailing
+    outputs (fvals first, then bts, then objs — the kernels' append
+    order)."""
     i = 5
-    fvs = bts = None
+    fvs = bts = objs = None
     if record_fvals:
         fvs = out[i]
         i += 1
     if record_bts:
         bts = out[i]
-    return fvs, bts
+        i += 1
+    if record_objs:
+        objs = out[i]
+    return fvs, bts, objs
 
 
 def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                  shrink_factor, max_backtracks, hp, engine, accelerate,
                  restart, restart_dd, interpret,
                  stop_rule="hybrid_residual", record_fvals=False,
-                 record_bts=False):
+                 record_bts=False, record_objs=False):
     """Build ``(call, b, x0, mu)``: a ``call(b, x0, mu) -> (solution,
-    taus, residuals, k, status, fvals-or-None, bts-or-None)`` closure
-    over the problem's STATIC
+    taus, residuals, k, status, fvals-or-None, bts-or-None,
+    objs-or-None)`` closure over the problem's STATIC
     data (operator matrices, anchors, kernel options) plus the
     instance's batchable leaves (measurements/labels b, start x0, and —
     dense/TV — the penalty weight μ, a runtime SMEM scalar in the
@@ -593,9 +628,9 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, engine=engine or "vpu",
                 stop_rule=stop_rule, record_fvals=record_fvals,
-                record_bts=record_bts)
+                record_bts=record_bts, record_objs=record_objs)
             return out[:5] + _tail_outputs(out, record_fvals,
-                                           record_bts)
+                                           record_bts, record_objs)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         mu = 0.0                    # PhaseMax has no penalty weight
@@ -616,9 +651,10 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 max_backtracks=max_backtracks, interpret=interpret,
                 hp=hp_tv, accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, stop_rule=stop_rule,
-                record_fvals=record_fvals, record_bts=record_bts)
+                record_fvals=record_fvals, record_bts=record_bts,
+                record_objs=record_objs)
             return out[:5] + _tail_outputs(out, record_fvals,
-                                           record_bts)
+                                           record_bts, record_objs)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
     else:
@@ -635,10 +671,12 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 engine=engine or "vpu", prox=prox, loss=loss,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, stop_rule=stop_rule,
-                record_fvals=record_fvals, record_bts=record_bts)
+                record_fvals=record_fvals, record_bts=record_bts,
+                record_objs=record_objs)
             x, taus, res, k, conv = out[:5]
-            fv, bts = _tail_outputs(out, record_fvals, record_bts)
-            return x.reshape(-1), taus, res, k, conv, fv, bts
+            fv, bts, objs = _tail_outputs(out, record_fvals,
+                                          record_bts, record_objs)
+            return x.reshape(-1), taus, res, k, conv, fv, bts, objs
 
         data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
                 else problem.fterm.b)

@@ -25,8 +25,8 @@ The measured regimes (v5e, readback-barrier-subtracted; PERF.md):
 * **Out-of-scope structure, f64, or full diagnostics** → the XLA loop
   (single) / vmapped batch solver (batched).  The microsolvers cover a
   fixed set of VMEM-resident f32 structures and export
-  (taus, residuals, backtracks, status[, fvals]) — the FastaResult
-  contract minus record_iterates and the objective series.
+  (taus, residuals, backtracks, status[, fvals][, objectives]) — the
+  FastaResult contract minus only record_iterates.
 
 The size crossover between the two batch paths is bracketed by NINE
 measured configs (benchmarks/serving_r5.log, live 2026-08-20,
@@ -147,8 +147,8 @@ def recommend_path(problem: Problem, batch_size: int = 1, *,
 
     Static metadata decision — no compilation, no device work.
     ``need_full_diagnostics`` forces the XLA paths (the kernels export
-    taus/residuals/backtracks/status[/fvals] — everything but
-    record_iterates and the objective series; micro.py).
+    taus/residuals/backtracks/status[/fvals][/objectives] — everything
+    but record_iterates; micro.py).
     """
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -158,7 +158,7 @@ def recommend_path(problem: Problem, batch_size: int = 1, *,
 
     if need_full_diagnostics or not supported or not f32:
         cause = ("full diagnostics requested (kernels lack "
-                 "record_iterates/objectives)" if need_full_diagnostics
+                 "record_iterates)" if need_full_diagnostics
                  else (f"no whole-solve kernel: {why}" if not supported
                        else f"{np.dtype(dtype).name} solve (kernels are "
                             f"f32)"))

@@ -146,6 +146,82 @@ def test_record_bts_off_gives_none():
     assert r.best_index is not None
 
 
+def test_objectives_match_xla_recorder():
+    """record_objs series == the XLA solver's record_objective series
+    on a matching trajectory (standard precision), for the l1 prox;
+    best_index switches to the argmin-objective rule."""
+    prob = _lasso()
+    prob.tau0 = 0.05
+    rm = prob.microsolve(max_iters=100, tol=1e-6, interpret=True,
+                         hp=False, record_objs=True)
+    rx = prob.solve(tol=1e-6, max_iters=100, fuse=False,
+                    precision="standard", record_objective=True)
+    assert rm.iteration_count == rx.iteration_count
+    k = rm.iteration_count
+    np.testing.assert_allclose(rm.objectives,
+                               np.asarray(rx.objectives)[:k],
+                               rtol=1e-5, atol=1e-6)
+    # best_index follows the argmin-objective rule.  Near convergence
+    # the objective tail is flat to f32 eps, so the micro and XLA
+    # argmins may land on different near-tied iterates — assert
+    # internal consistency plus value-level agreement instead of index
+    # equality.
+    assert rm.best_index == int(np.argmin(rm.objectives))
+    xbest = float(np.min(np.asarray(rx.objectives)[:k]))
+    mbest = float(rm.objectives[rm.best_index])
+    assert abs(mbest - xbest) <= 1e-5 * (1.0 + abs(xbest))
+
+
+def test_objectives_ridge_gval():
+    """The ridge prox's analytic g — (lambda/2)||x||^2 with mu carrying
+    lambda — via the svm problem (squared-hinge + ridge); fixed-prefix
+    comparison (hw_validate [9] pins the trajectory parity)."""
+    prob = problems.build("svm", m=120, n=40, dtype=jnp.float32)
+    prob.tau0 = 0.1
+    K = 15
+    rm = prob.microsolve(max_iters=K, tol=0.0, stop_rule="iterations",
+                         interpret=True, hp=False, record_objs=True)
+    rx = prob.solve(tol=1e-12, max_iters=K, fuse=False,
+                    stop_rule="iterations", precision="standard",
+                    record_objective=True)
+    np.testing.assert_allclose(rm.objectives[:K],
+                               np.asarray(rx.objectives)[:K],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_objectives_tv_prefix():
+    """TV dual objs = prox-point f (g is the box indicator): prefix
+    match vs the XLA hp record_objective series."""
+    tvp = problems.build("tv", h=32, w=32, dtype=jnp.float32)
+    tvp.tau0 = 2.0
+    K = 15
+    rm = tvp.microsolve(max_iters=K, tol=0.0, stop_rule="iterations",
+                        interpret=True, record_objs=True)
+    rx = tvp.solve(tol=1e-12, max_iters=K, fuse=False,
+                   stop_rule="iterations", precision="auto",
+                   record_objective=True)
+    np.testing.assert_allclose(rm.objectives[:K],
+                               np.asarray(rx.objectives)[:K],
+                               rtol=1e-4)
+
+
+def test_objectives_planar_prefix():
+    """Planar PhaseMax objs = f(x1) - <c, x1>: prefix match vs the XLA
+    record_objective series."""
+    pr = problems.build("phase_retrieval", m=256, n=32, planar=True,
+                        dtype=jnp.float32)
+    pr.tau0 = 1.0
+    K = 10
+    rm = pr.microsolve(max_iters=K, tol=0.0, stop_rule="iterations",
+                       interpret=True, record_objs=True)
+    rx = pr.solve(tol=1e-12, max_iters=K, fuse=False,
+                  stop_rule="iterations", precision="standard",
+                  record_objective=True)
+    np.testing.assert_allclose(rm.objectives[:K],
+                               np.asarray(rx.objectives)[:K],
+                               rtol=2e-3, atol=1e-4)
+
+
 def test_batch_backtracks_match_singles():
     prob = _lasso(m=120, n=200, k=10)
     inst = prob.instance
