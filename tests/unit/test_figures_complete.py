@@ -34,8 +34,7 @@ def test_figure_generator_covers_registry():
                           matrix_completion, max_norm, mmv, nmf, nnls,
                           phase_retrieval, phase_retrieval_cdp,
                           sparse_lasso, svm, tv)
-    missing = sorted(set(problems.REGISTRY) - set(QUICK_SIZES)
-                     - {"phase_retrieval_cdp"})   # generated separately
+    missing = sorted(set(problems.REGISTRY) - set(QUICK_SIZES))
     assert not missing, (
         f"problems missing from problems/__main__.py QUICK_SIZES: "
         f"{missing}")
