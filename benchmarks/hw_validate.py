@@ -557,6 +557,19 @@ np.testing.assert_allclose(
     rtol=1e-4, atol=1e-5)
 assert r12c.best_index == int(np.argmin(r12c.objectives))
 
+# record_iterates (in-loop 8-row-block DMA to HBM — a Mosaic lowering
+# interpret mode cannot certify): trajectory == the XLA recorder's
+pb.tau0 = 0.05
+r12d = microsolve(pb, max_iters=400, tol=1e-5, record_iterates=True)
+rx12d = pb.solve(tol=1e-5, max_iters=400, fuse=False,
+                 precision="standard", record_iterates=True)
+assert r12d.iteration_count == rx12d.iteration_count
+np.testing.assert_allclose(
+    r12d.iterates, np.asarray(rx12d.iterates)[:r12d.iteration_count],
+    atol=2e-5)
+np.testing.assert_array_equal(r12d.iterates[-1],
+                              np.asarray(r12d.solution))
+
 # a poisoned instance inside a batch must not disturb its neighbors
 rb12b = microsolve_batch(
     pb, jnp.stack([b10, b10, b10]),
@@ -570,8 +583,11 @@ print(f"[12b] round-5 features HW: NaN-tau0 solve aborts in "
       f"{r12b.iteration_count} iter(s) with status=nonfinite; backtrack "
       f"row matches the XLA recorder ({int(r12c.backtracks.sum())} "
       f"trials over {r12c.iteration_count} iters); objective row "
-      f"matches record_objective (rtol 1e-4); poisoned batch lane "
-      f"isolated (statuses {list(rb12b.statuses)})")
+      f"matches record_objective (rtol 1e-4); record_iterates "
+      f"trajectory matches the XLA recorder "
+      f"({r12d.iterates.shape[0]}x{r12d.iterates.shape[1]} via "
+      f"8-row-block HBM DMA); poisoned batch lane isolated "
+      f"(statuses {list(rb12b.statuses)})")
 
 # ---- 13. full-solve STREAMING rows (512 MB, current session) --------------
 # Round-3 VERDICT missing #1: the quoted full-solve streaming numbers

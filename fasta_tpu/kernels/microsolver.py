@@ -107,7 +107,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  hp=False, accelerate=False, restart=True,
                  restart_dd=False, loss="lstsq",
                  stop_rule="hybrid_residual", record_fvals=False,
-                 record_bts=False, record_objs=False, warm_sweep=False):
+                 record_bts=False, record_objs=False, record_its=False,
+                 warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
@@ -132,9 +133,62 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
                x_ref, taus_ref, res_ref, fv_ref, bt_ref, obj_ref,
-               k_ref, conv_ref, *scr):
+               *rest):
+        rest = list(rest)
+        # optional HBM iterate-trajectory output precedes the SMEM
+        # scalars; its staging scratch + DMA semaphore follow them
+        its_ref = rest.pop(0) if record_its else None
+        k_ref = rest.pop(0)
+        conv_ref = rest.pop(0)
+        if record_its:
+            xstage = rest.pop(0)
+            dma_sem = rest.pop(0)
         if warm_sweep:
-            xprev_scr, tprev_scr = scr
+            xprev_scr, tprev_scr = rest
+
+        npad = ((n + 127) // 128) * 128
+
+        def record_it(k, x1):
+            """record_iterates analog: stage the accepted iterate at
+            sublane k%8 of an (8, npad) VMEM buffer and DMA the FULL
+            block to the HBM trajectory buffer every 8th iteration —
+            Mosaic requires DMA slices tile-aligned in BOTH dims
+            ((8, 128); a per-row or non-128-lane copy does not lower),
+            so both the stage and the HBM buffer are lane-padded and
+            the copy always moves whole blocks.  The final partial
+            block is flushed in the epilogue (flush_its); rows >= the
+            final k and lanes >= n are garbage and trimmed by the
+            caller."""
+            c8 = jnp.asarray(8, jnp.int32)      # x64-safe literal
+            lane8 = jax.lax.rem(k, c8)
+            if npad != n:
+                x1 = jnp.concatenate(
+                    [x1, jnp.zeros((1, npad - n), jnp.float32)], axis=1)
+            xstage[pl.ds(lane8, 1), :] = x1
+
+            @pl.when(lane8 == 7)
+            def _flush_full():
+                # offset spelled (k//8)*8 — syntactically divisible by
+                # the sublane tile, which is what Mosaic's divisibility
+                # prover needs ("Failed to prove that a tile index in
+                # dimension 0 is divisible by the tiling (8)" for the
+                # equivalent k - 7)
+                blk = jax.lax.div(k, c8) * 8
+                cp = pltpu.make_async_copy(
+                    xstage, its_ref.at[pl.ds(blk, 8), :], dma_sem)
+                cp.start()
+                cp.wait()
+
+        def flush_its(k):
+            """Epilogue flush of the last (possibly partial) 8-row
+            block; the trajectory buffer is 8-row padded so the block
+            write is always in bounds."""
+            c8 = jnp.asarray(8, jnp.int32)
+            blk = jax.lax.div(jnp.maximum(k - 1, 0), c8) * 8
+            cp = pltpu.make_async_copy(
+                xstage, its_ref.at[pl.ds(blk, 8), :], dma_sem)
+            cp.start()
+            cp.wait()
         A = A_ref[:]                       # (m, n) pinned in VMEM
         b = b_ref[:]                       # (1, m)
         # μ is a RUNTIME SMEM scalar (ts_ref[0,1]), not a compile-time
@@ -436,6 +490,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 _nd2, res, maxres, stop = resid_stop(
                     tau, x1, x1hat, dx, g_c, maxres_c)
                 trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
+                if record_its:
+                    record_it(k, x1)
 
                 # O'Donoghue–Candès gradient restart (plain-f32 sign
                 # test by default; restart_dd mirrors solver.py's dd
@@ -514,6 +570,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             x_ref[:] = sol
             k_ref[0, 0] = k
             conv_ref[0, 0] = halt
+            if record_its:
+                flush_its(k)
             if warm_sweep:
                 tau_acc = fin[-1]
                 # a nonfinite abort must not poison the NEXT path
@@ -556,6 +614,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             nd2, res, maxres, stop = resid_stop(
                 tau, x1, x1hat, dx, g_c, maxres_c)
             trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
+            if record_its:
+                record_it(k, x1)
             fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
                                fwin_c)
             fwlo_n = (jnp.where(lane_w == (k + 1) % window, f1.lo,
@@ -613,6 +673,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         x_ref[:] = x_f
         k_ref[0, 0] = k
         conv_ref[0, 0] = halt
+        if record_its:
+            flush_its(k)
         if warm_sweep:
             tau_acc = fin[-1]
             ok = halt != 2          # see the accelerate epilogue
@@ -629,14 +691,15 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss",
                      "stop_rule", "record_fvals", "record_bts",
-                     "record_objs"))
+                     "record_objs", "record_its"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                      interpret=False, engine="vpu", prox="l1",
                      hp=False, accelerate=False, restart=True,
                      restart_dd=False, loss="lstsq",
                      stop_rule="hybrid_residual", record_fvals=False,
-                     record_bts=False, record_objs=False):
+                     record_bts=False, record_objs=False,
+                     record_its=False):
     """Whole-solve kernel for  min f(Ax) + g(x)  with f selected by
     ``loss``: "lstsq" (½‖·−b‖²), "logistic" (Σlog(1+exp(·))−bᵀ·, labels
     b ∈ {0,1}) or "squared_hinge" (½Σmax(0,1−b⊙·)², labels b ∈ {±1});
@@ -664,12 +727,18 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     backtracks field) and appends them after fvals;
     ``record_objs=True`` records the prox-point objective
     f(x₁) + g(x₁) per iteration (solver.py's record_objective formula
-    — g analytic per prox family) and appends it after bts.
+    — g analytic per prox family) and appends it after bts;
+    ``record_its=True`` records the full ITERATE TRAJECTORY — each
+    accepted x₁ is DMA'd from a VMEM staging row to an HBM
+    (max_iters, n) buffer inside the loop (record_iterates analog;
+    rows at indices ≥ the final iteration count are uninitialized —
+    slice to [:k]) and appends it after objs.
 
     Returns (x, taus[max_iters], residuals[max_iters], iteration_count,
     status) — plus fvals[max_iters] when ``record_fvals``, plus
     bts[max_iters] (f32 counts) when ``record_bts``, plus
-    objs[max_iters] when ``record_objs``.  ``status`` is an
+    objs[max_iters] when ``record_objs``, plus its[(max_iters, n)]
+    when ``record_its``.  ``status`` is an
     int32 halt code, truthiness-compatible with the old converged bool:
     0 = max_iters exhausted, 1 = converged, 2 = NONFINITE abort (f/τ/
     residual went NaN/inf; see halt_code — without the in-kernel guard
@@ -682,14 +751,37 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss,
                         stop_rule, record_fvals, record_bts,
-                        record_objs)
+                        record_objs, record_its)
     # τ₀ and μ ride the SMEM scalar vector: μ is a traced leaf (one
     # executable per option set serves every penalty weight; vmap over
     # it = in-kernel regularization path).  Shape (1,2) — see the
     # kernel comment on Mosaic's batched-SMEM block rule.
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    x, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
+    rows = jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_specs = [vspec, vspec, vspec, vspec, vspec, vspec]
+    out_shape = [jax.ShapeDtypeStruct((1, n), jnp.float32),
+                 rows, rows, rows, rows, rows]
+    scratch = []
+    kitpad = max(((max_iters + 7) // 8) * 8, 8)
+    if record_its:
+        # iterate trajectory lives in HBM (compiler-placed ANY), filled
+        # by 8-row-block DMAs from a VMEM staging buffer (Mosaic's DMA
+        # sublane-tile alignment — see record_it); 8-row padded so the
+        # epilogue's partial-block flush stays in bounds
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((kitpad, ((n + 127) // 128) * 128),
+                                 jnp.float32))
+        npad = ((n + 127) // 128) * 128
+        scratch = [pltpu.VMEM((8, npad), jnp.float32),
+                   pltpu.SemaphoreType.DMA(())]
+    out_specs += [sspec, sspec]                 # k, status
+    out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+    res_all = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (1,n)
@@ -697,26 +789,9 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),      # A (m,n)
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # x (1,n)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # taus rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # res rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # bts rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # objs rows
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # k (1,1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # status (1,1)
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # A + loop-carried vectors + compiler temporaries; v5e VMEM
             # is 128 MB, leave headroom for the runtime
@@ -724,6 +799,9 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         ),
         interpret=interpret,
     )(x0.reshape(1, n), b.reshape(1, m), ts, A)
+    x, taus, res, fv, bts, objs = res_all[:6]
+    its = res_all[6] if record_its else None
+    k, conv = res_all[-2], res_all[-1]
     out = (x.reshape(n), taus.reshape(kpad)[:max_iters],
            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0])
     if record_fvals:
@@ -732,6 +810,8 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         out += (bts.reshape(kpad)[:max_iters],)
     if record_objs:
         out += (objs.reshape(kpad)[:max_iters],)
+    if record_its:
+        out += (its[:max_iters, :n],)
     return out
 
 

@@ -47,16 +47,19 @@ class MicroResult:
     """Result of a whole-solve kernel run.
 
     Matches :class:`~fasta_tpu.solver.FastaResult`'s contract minus
-    only ``record_iterates`` (no in-kernel analog by design: VMEM) and
-    the normalized-residual series: the kernels record (stepsizes,
-    residuals, iteration count, halt status), plus per-iteration
-    f-values (``record_fvals=True``), backtrack counts (``record_bts``,
-    on by default here) and prox-point objectives f(x₁)+g(x₁)
+    only the normalized-residual series (and ``record_iterates`` on
+    the TV/planar kernels): the kernels record (stepsizes, residuals,
+    iteration count, halt status), plus per-iteration f-values
+    (``record_fvals=True``), backtrack counts (``record_bts``, on by
+    default here), prox-point objectives f(x₁)+g(x₁)
     (``record_objs=True`` — g analytic per kernel family; solver.py's
-    record_objective formula).  ``best_index`` is the best-objective
-    iterate's index: argmin objectives when they were recorded, else
-    argmin residual — exactly the XLA path's new_obj rule — derived
-    from the exported series, bit-identical to an in-carry argmin.
+    record_objective formula), and — dense kernel —
+    ``record_iterates=True``: the full iterate trajectory, DMA'd to
+    HBM in 8-row blocks inside the loop.  ``best_index`` is the
+    best-objective iterate's index: argmin objectives when they were
+    recorded, else argmin residual — exactly the XLA path's new_obj
+    rule — derived from the exported series, bit-identical to an
+    in-carry argmin.
 
     ``status`` distinguishes WHY the solve stopped: "converged",
     "max_iters", or "nonfinite" — the in-kernel nonfinite guard
@@ -92,6 +95,9 @@ class MicroResult:
     best_index: Optional[int] = None
     # per-iteration prox-point objectives when record_objs; None off
     objectives: Optional[np.ndarray] = None
+    # full iterate trajectory (k, n) when record_iterates (dense
+    # kernel only — in-loop 8-row-block DMA to HBM); None off
+    iterates: Optional[np.ndarray] = None
 
 
 def _dispatch(problem: Problem):
@@ -185,7 +191,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                restart_dd: bool = False,
                stop_rule: str = "hybrid_residual",
                record_fvals: bool = False, record_bts: bool = True,
-               record_objs: bool = False,
+               record_objs: bool = False, record_iterates: bool = False,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
@@ -230,7 +236,12 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     f(x₁)+g(x₁) into ``MicroResult.objectives`` (solver.py's
     record_objective formula; g analytic per kernel family — μ‖x‖₁,
     indicators, (λ/2)‖x‖², −⟨c,x⟩) and switches ``best_index`` to
-    argmin-objective (the XLA new_obj rule).
+    argmin-objective (the XLA new_obj rule).  ``record_iterates=True``
+    (DENSE kernel only) records the full iterate trajectory into
+    ``MicroResult.iterates`` — each accepted x₁ is DMA'd to an HBM
+    buffer in 8-row blocks inside the loop (measured 1.07× the
+    iteration on chip); TV/planar raise — use the XLA path
+    (``Problem.solve(record_iterates=True)``) for those structures.
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
@@ -239,6 +250,12 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     kind, detail = _dispatch(problem)
     if kind is None:
         raise ValueError(f"microsolve: {detail}")
+    if record_iterates and kind != "dense":
+        raise ValueError(
+            f"microsolve: record_iterates is implemented for the dense "
+            f"kernel only (the {kind} kernel's per-iteration state is "
+            f"a 2-D field; use Problem.solve(record_iterates=True) — "
+            f"the XLA path records it for every structure)")
 
     if tau0 is None:
         tau0 = problem.tau0
@@ -263,8 +280,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
         record_bts=record_bts, record_objs=record_objs,
-        interpret=interpret)
-    sol, taus, res, k, conv, fv, bts, objs = call(
+        record_iterates=record_iterates, interpret=interpret)
+    sol, taus, res, k, conv, fv, bts, objs, its = call(
         b, x0, mu, jnp.asarray(tau0, jnp.float32))
 
     k = int(k)
@@ -290,6 +307,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                           else None),
         best_index=(int(np.argmin(best_series)) if k > 0 else None),
         objectives=objs_h,
+        iterates=(np.asarray(its)[:k] if its is not None else None),
     )
 
 
@@ -399,7 +417,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
     if tau0.ndim == 1 and tau0.shape != (B,):
         raise ValueError(f"per-instance tau0 shape {tau0.shape} != "
                          f"({B},)")
-    sols, taus, res, ks, convs, fvs, bts, objs = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts, objs, _its = jax.vmap(
         call, in_axes=(0, 0, None, 0 if tau0.ndim else None))(
         bs, x0s, mu1, tau0)
     return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
@@ -574,7 +592,7 @@ def microsolve_sweep(problem: Problem, mus,
         record_bts=record_bts, record_objs=record_objs,
         interpret=interpret)
 
-    sols, taus, res, ks, convs, fvs, bts, objs = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts, objs, _its = jax.vmap(
         call, in_axes=(None, None, 0, None))(
         b1, x01, mus, jnp.asarray(tau0, jnp.float32))
     return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
@@ -602,10 +620,11 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                  shrink_factor, max_backtracks, hp, engine, accelerate,
                  restart, restart_dd, interpret,
                  stop_rule="hybrid_residual", record_fvals=False,
-                 record_bts=False, record_objs=False):
+                 record_bts=False, record_objs=False,
+                 record_iterates=False):
     """Build ``(call, b, x0, mu)``: a ``call(b, x0, mu) -> (solution,
     taus, residuals, k, status, fvals-or-None, bts-or-None,
-    objs-or-None)`` closure over the problem's STATIC
+    objs-or-None, iterates-or-None)`` closure over the problem's STATIC
     data (operator matrices, anchors, kernel options) plus the
     instance's batchable leaves (measurements/labels b, start x0, and —
     dense/TV — the penalty weight μ, a runtime SMEM scalar in the
@@ -630,7 +649,8 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 stop_rule=stop_rule, record_fvals=record_fvals,
                 record_bts=record_bts, record_objs=record_objs)
             return out[:5] + _tail_outputs(out, record_fvals,
-                                           record_bts, record_objs)
+                                           record_bts, record_objs) \
+                + (None,)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         mu = 0.0                    # PhaseMax has no penalty weight
@@ -654,7 +674,8 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 record_fvals=record_fvals, record_bts=record_bts,
                 record_objs=record_objs)
             return out[:5] + _tail_outputs(out, record_fvals,
-                                           record_bts, record_objs)
+                                           record_bts, record_objs) \
+                + (None,)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
     else:
@@ -672,11 +693,12 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, stop_rule=stop_rule,
                 record_fvals=record_fvals, record_bts=record_bts,
-                record_objs=record_objs)
+                record_objs=record_objs, record_its=record_iterates)
             x, taus, res, k, conv = out[:5]
             fv, bts, objs = _tail_outputs(out, record_fvals,
                                           record_bts, record_objs)
-            return x.reshape(-1), taus, res, k, conv, fv, bts, objs
+            its = out[-1] if record_iterates else None
+            return x.reshape(-1), taus, res, k, conv, fv, bts, objs, its
 
         data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
                 else problem.fterm.b)

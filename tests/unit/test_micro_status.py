@@ -222,6 +222,37 @@ def test_objectives_planar_prefix():
                                rtol=2e-3, atol=1e-4)
 
 
+def test_record_iterates_matches_xla():
+    """Dense-kernel record_iterates (in-loop 8-row-block HBM DMA) ==
+    the XLA recorder's iterate trajectory on a matching trajectory;
+    the final iteration count is deliberately NOT a multiple of 8 so
+    the epilogue's partial-block flush is exercised."""
+    prob = _lasso()
+    prob.tau0 = 0.05
+    rm = prob.microsolve(max_iters=100, tol=1e-6, interpret=True,
+                         hp=False, record_iterates=True)
+    rx = prob.solve(tol=1e-6, max_iters=100, fuse=False,
+                    precision="standard", record_iterates=True)
+    k = rm.iteration_count
+    assert k == rx.iteration_count and k % 8 != 0
+    assert rm.iterates.shape == (k, 400)
+    np.testing.assert_allclose(rm.iterates,
+                               np.asarray(rx.iterates)[:k], atol=2e-5)
+    # the last recorded iterate IS the returned solution
+    np.testing.assert_array_equal(rm.iterates[-1],
+                                  np.asarray(rm.solution))
+
+
+def test_record_iterates_rejected_for_tv_and_planar():
+    tvp = problems.build("tv", h=24, w=24, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="dense kernel only"):
+        tvp.microsolve(tau0=2.0, record_iterates=True, interpret=True)
+    pr = problems.build("phase_retrieval", m=256, n=32, planar=True,
+                        dtype=jnp.float32)
+    with pytest.raises(ValueError, match="dense kernel only"):
+        pr.microsolve(tau0=1.0, record_iterates=True, interpret=True)
+
+
 def test_batch_backtracks_match_singles():
     prob = _lasso(m=120, n=200, k=10)
     inst = prob.instance
