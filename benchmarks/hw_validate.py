@@ -540,7 +540,8 @@ assert r12b.status == "nonfinite" and not r12b.converged, (
 assert r12b.iteration_count <= 3, r12b.iteration_count
 
 pb.tau0 = 0.5          # oversized tau0 forces real line-search activity
-r12c = microsolve(pb, max_iters=400, tol=1e-5, record_objs=True)
+r12c = microsolve(pb, max_iters=400, tol=1e-5, record_objs=True,
+                  record_nres=True)
 rx12c = pb.solve(tol=1e-5, max_iters=400, fuse=False,
                  precision="standard", record_objective=True)
 pb.tau0 = 0.05         # restore the check-12 setting
@@ -555,6 +556,12 @@ np.testing.assert_allclose(
     r12c.objectives,
     np.asarray(rx12c.objectives)[:r12c.iteration_count],
     rtol=1e-4, atol=1e-5)
+# normalized-residual row (record_nres, 6th accumulator row) — with
+# it the dense kernel exports the COMPLETE FastaResult contract
+np.testing.assert_allclose(
+    r12c.norm_residuals,
+    np.asarray(rx12c.norm_residuals)[:r12c.iteration_count],
+    rtol=1e-3, atol=1e-6)
 assert r12c.best_index == int(np.argmin(r12c.objectives))
 
 # record_iterates (in-loop 8-row-block DMA to HBM — a Mosaic lowering
@@ -582,9 +589,10 @@ assert rb12b.iteration_counts[1] <= 3
 print(f"[12b] round-5 features HW: NaN-tau0 solve aborts in "
       f"{r12b.iteration_count} iter(s) with status=nonfinite; backtrack "
       f"row matches the XLA recorder ({int(r12c.backtracks.sum())} "
-      f"trials over {r12c.iteration_count} iters); objective row "
-      f"matches record_objective (rtol 1e-4); record_iterates "
-      f"trajectory matches the XLA recorder "
+      f"trials over {r12c.iteration_count} iters); objective + "
+      f"normalized-residual rows match the XLA recorder (rtol "
+      f"1e-4/1e-3); record_iterates trajectory matches the XLA "
+      f"recorder "
       f"({r12d.iterates.shape[0]}x{r12d.iterates.shape[1]} via "
       f"8-row-block HBM DMA); poisoned batch lane isolated "
       f"(statuses {list(rb12b.statuses)})")

@@ -108,12 +108,14 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  restart_dd=False, loss="lstsq",
                  stop_rule="hybrid_residual", record_fvals=False,
                  record_bts=False, record_objs=False, record_its=False,
-                 warm_sweep=False):
+                 record_nres=False, warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows as dd_dot
     from .ddreduce import dd_reduce
     # the normalized residual is only computed when a rule reads it
-    need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
+    # (or when the caller records the series — record_nres)
+    need_nres = (stop_rule in ("normalized_residual", "hybrid_residual")
+                 or record_nres)
     # warm_sweep: the kernel runs as an EXPLICIT sequential grid over
     # path points (microsolve_lasso_path) — step i>0 starts from step
     # i-1's solution and last accepted stepsize, carried across grid
@@ -133,7 +135,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
     def kernel(x0_ref, b_ref, ts_ref, A_ref,
                x_ref, taus_ref, res_ref, fv_ref, bt_ref, obj_ref,
-               *rest):
+               nres_ref, *rest):
         rest = list(rest)
         # optional HBM iterate-trajectory output precedes the SMEM
         # scalars; its staging scratch + DMA semaphore follow them
@@ -216,6 +218,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         obj_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        nres_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -261,6 +264,17 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             orow_n = jnp.where(lane128 == lane, ov, orow_c)
             obj_ref[pl.ds(row, 1), :] = orow_n
             return orow_n
+
+        def record_nr(k, nv, nrow_c):
+            """Optional normalized-residual row (the last FastaResult
+            series: norm_residuals[k] = res/normalizer, resid_stop's
+            nres — need_nres is forced on when recording)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            nrow_n = jnp.where(lane128 == lane, nv, nrow_c)
+            nres_ref[pl.ds(row, 1), :] = nrow_n
+            return nrow_n
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -455,12 +469,14 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             else:
                 nres = None
             stop = stop_from_rule(stop_rule, res, nres, maxres, tol)
-            return nd2, res, maxres, stop
+            return nd2, res, nres, maxres, stop
 
         if accelerate:
             def body(c):
                 if warm_sweep:
                     *c, _tacc_c = c
+                if record_nres:
+                    *c, nrow_c = c
                 if record_objs:
                     *c, orow_c = c
                 if record_bts:
@@ -487,7 +503,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 tau, x1hat, x1, dx, f1, d1, bt = backtrack(
                     fb, first, tau, g_c, M)
 
-                _nd2, res, maxres, stop = resid_stop(
+                _nd2, res, nres, maxres, stop = resid_stop(
                     tau, x1, x1hat, dx, g_c, maxres_c)
                 trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
                 if record_its:
@@ -536,6 +552,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     # — solver.py's record_objective formula)
                     out += (record_obj(k, f_plain(f1) + gval(x1),
                                        orow_c),)
+                if record_nres:
+                    out += (record_nr(k, nres, nrow_c),)
                 if warm_sweep:
                     # last genuinely ACCEPTED stepsize — a backtrack-
                     # exhausted tau (typical of the final converged
@@ -556,6 +574,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             if record_bts:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if record_objs:
+                init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_nres:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if warm_sweep:
                 init += (jnp.zeros((), jnp.float32),)
@@ -587,6 +607,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         def body(c):
             if warm_sweep:
                 *c, _tacc_c = c
+            if record_nres:
+                *c, nrow_c = c
             if record_objs:
                 *c, orow_c = c
             if record_bts:
@@ -611,7 +633,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             tau, x1hat, x1, dx, f1, g1, bt = backtrack(
                 fb, first, tau, g_c, M)
 
-            nd2, res, maxres, stop = resid_stop(
+            nd2, res, nres, maxres, stop = resid_stop(
                 tau, x1, x1hat, dx, g_c, maxres_c)
             trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
             if record_its:
@@ -648,6 +670,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 out += (record_bt(k, bt, btrow_c),)
             if record_objs:
                 out += (record_obj(k, f_plain(f1) + gval(x1), orow_c),)
+            if record_nres:
+                out += (record_nr(k, nres, nrow_c),)
             if warm_sweep:
                 # genuinely accepted only — see the accelerate body
                 out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
@@ -663,6 +687,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         if record_bts:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if record_objs:
+            init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_nres:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if warm_sweep:
             init += (jnp.zeros((), jnp.float32),)
@@ -691,7 +717,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss",
                      "stop_rule", "record_fvals", "record_bts",
-                     "record_objs", "record_its"))
+                     "record_objs", "record_its", "record_nres"))
 def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                      interpret=False, engine="vpu", prox="l1",
@@ -699,7 +725,7 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      restart_dd=False, loss="lstsq",
                      stop_rule="hybrid_residual", record_fvals=False,
                      record_bts=False, record_objs=False,
-                     record_its=False):
+                     record_its=False, record_nres=False):
     """Whole-solve kernel for  min f(Ax) + g(x)  with f selected by
     ``loss``: "lstsq" (½‖·−b‖²), "logistic" (Σlog(1+exp(·))−bᵀ·, labels
     b ∈ {0,1}) or "squared_hinge" (½Σmax(0,1−b⊙·)², labels b ∈ {±1});
@@ -751,7 +777,7 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss,
                         stop_rule, record_fvals, record_bts,
-                        record_objs, record_its)
+                        record_objs, record_its, record_nres)
     # τ₀ and μ ride the SMEM scalar vector: μ is a traced leaf (one
     # executable per option set serves every penalty weight; vmap over
     # it = in-kernel regularization path).  Shape (1,2) — see the
@@ -761,9 +787,9 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
     rows = jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_specs = [vspec, vspec, vspec, vspec, vspec, vspec]
+    out_specs = [vspec, vspec, vspec, vspec, vspec, vspec, vspec]
     out_shape = [jax.ShapeDtypeStruct((1, n), jnp.float32),
-                 rows, rows, rows, rows, rows]
+                 rows, rows, rows, rows, rows, rows]
     scratch = []
     kitpad = max(((max_iters + 7) // 8) * 8, 8)
     if record_its:
@@ -799,8 +825,8 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         ),
         interpret=interpret,
     )(x0.reshape(1, n), b.reshape(1, m), ts, A)
-    x, taus, res, fv, bts, objs = res_all[:6]
-    its = res_all[6] if record_its else None
+    x, taus, res, fv, bts, objs, nrs = res_all[:7]
+    its = res_all[7] if record_its else None
     k, conv = res_all[-2], res_all[-1]
     out = (x.reshape(n), taus.reshape(kpad)[:max_iters],
            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0])
@@ -812,6 +838,8 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
         out += (objs.reshape(kpad)[:max_iters],)
     if record_its:
         out += (its[:max_iters, :n],)
+    if record_nres:
+        out += (nrs.reshape(kpad)[:max_iters],)
     return out
 
 
@@ -821,7 +849,7 @@ def microsolve_lasso(A, b, x0, tau0, mu, max_iters=1000, window=10,
                      "max_backtracks", "interpret", "engine", "prox",
                      "hp", "accelerate", "restart", "restart_dd", "loss",
                      "stop_rule", "record_fvals", "record_bts",
-                     "record_objs"))
+                     "record_objs", "record_nres"))
 def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                           tol=1e-3, shrink_factor=0.2, max_backtracks=20,
                           interpret=False, engine="vpu", prox="l1",
@@ -829,7 +857,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                           restart_dd=False, loss="lstsq",
                           stop_rule="hybrid_residual",
                           record_fvals=False, record_bts=False,
-                          record_objs=False):
+                          record_objs=False, record_nres=False):
     """WARM-STARTED regularization path in ONE kernel launch: an
     explicit sequential grid over the B entries of ``mus`` (strongest
     penalty first, the classic continuation order) where path point i
@@ -860,7 +888,8 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                         max_backtracks, kpad, engine, prox, hp,
                         accelerate, restart, restart_dd, loss,
                         stop_rule, record_fvals, record_bts,
-                        record_objs, warm_sweep=True)
+                        record_objs, record_nres=record_nres,
+                        warm_sweep=True)
     ts = jnp.stack([jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
                     jnp.asarray(mus, jnp.float32)],
                    axis=-1).reshape(B, 1, 2)
@@ -876,7 +905,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
                              memory_space=pltpu.VMEM)
     rows_shape = jax.ShapeDtypeStruct((B, kpad // 128, 128),
                                       jnp.float32)
-    x, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, objs, nrs, k, conv = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -897,6 +926,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
             rows_spec,                                      # fvals_i
             rows_spec,                                      # bts_i
             rows_spec,                                      # objs_i
+            rows_spec,                                      # nres_i
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),          # k_i
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
@@ -904,6 +934,7 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+            rows_shape,
             rows_shape,
             rows_shape,
             rows_shape,
@@ -930,4 +961,6 @@ def microsolve_lasso_path(A, b, x0, tau0, mus, max_iters=1000, window=10,
         out += (bts.reshape(B, kpad)[:, :max_iters],)
     if record_objs:
         out += (objs.reshape(B, kpad)[:, :max_iters],)
+    if record_nres:
+        out += (nrs.reshape(B, kpad)[:, :max_iters],)
     return out

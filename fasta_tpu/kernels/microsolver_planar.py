@@ -68,11 +68,12 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate, restart,
                  restart_dd, engine, stop_rule="hybrid_residual",
                  record_fvals=False, record_bts=False,
-                 record_objs=False):
+                 record_objs=False, record_nres=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows2
     from .microsolver import halt_code, stop_from_rule
-    need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
+    need_nres = (stop_rule in ("normalized_residual", "hybrid_residual")
+                 or record_nres)
 
     # The planar kernel is VPU-ONLY since the rowt rewrite (the dense
     # kernel keeps its selectable "mxu" engine): the HIGHEST
@@ -112,7 +113,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
                x_ref, taus_ref, res_ref, fv_ref, bt_ref, obj_ref,
-               k_ref, conv_ref,
+               nres_ref, k_ref, conv_ref,
                dscr_r, dscr_i, yscr_r, yscr_i, pscr_r, pscr_i):
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
@@ -127,6 +128,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         obj_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        nres_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -169,6 +171,16 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             orow_n = jnp.where(lane128 == lane, ov, orow_c)
             obj_ref[pl.ds(row, 1), :] = orow_n
             return orow_n
+
+        def record_nr(k, nv, nrow_c):
+            """Optional normalized-residual row (see
+            kernels/microsolver.py record_nr)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            nrow_n = jnp.where(lane128 == lane, nv, nrow_c)
+            nres_ref[pl.ds(row, 1), :] = nrow_n
+            return nrow_n
 
         def gval(x1r, x1i):
             """g(x) = −⟨c, x⟩ over both planar channels."""
@@ -326,10 +338,12 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             else:
                 nres = None
             stop = stop_from_rule(stop_rule, res, nres, maxres, tol)
-            return nd2, res, maxres, stop
+            return nd2, res, nres, maxres, stop
 
         if accelerate:
             def body(cy):
+                if record_nres:
+                    *cy, nrow_c = cy
                 if record_objs:
                     *cy, orow_c = cy
                 if record_bts:
@@ -360,7 +374,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 (tau, x1r, x1i, dxr, dxi, f1, zr, zi,
                  d1r, d1i, bt) = backtrack(fb, first, tau, gr_c, gi_c, M)
 
-                _nd2, res, maxres, stop = resid_stop(
+                _nd2, res, nres, maxres, stop = resid_stop(
                     tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c,
                     maxres_c)
                 trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
@@ -406,6 +420,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     # prox-point objective, pre-extrapolation
                     out += (record_obj(k, f_plain(f1) + gval(x1r, x1i),
                                        orow_c),)
+                if record_nres:
+                    out += (record_nr(k, nres, nrow_c),)
                 return out
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -420,6 +436,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if record_objs:
                 init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_nres:
+                init += (jnp.zeros((1, 128), jnp.float32),)
             (k, halt, yr_f, yi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
              _rr, xar_f, xai_f, _dr, _di,
              _a) = jax.lax.while_loop(cond, body, init)[:17]
@@ -432,6 +450,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             return
 
         def body(cy):
+            if record_nres:
+                *cy, nrow_c = cy
             if record_objs:
                 *cy, orow_c = cy
             if record_bts:
@@ -460,7 +480,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             (tau, x1r, x1i, dxr, dxi, f1, zr, zi, g1r,
              g1i, bt) = backtrack(fb, first, tau, gr_c, gi_c, M)
 
-            nd2, res, maxres, stop = resid_stop(
+            nd2, res, nres, maxres, stop = resid_stop(
                 tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c, maxres_c)
             trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
             fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
@@ -495,6 +515,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             if record_objs:
                 out += (record_obj(k, f_plain(f1) + gval(x1r, x1i),
                                    orow_c),)
+            if record_nres:
+                out += (record_nr(k, nres, nrow_c),)
             return out
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -507,6 +529,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         if record_bts:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if record_objs:
+            init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_nres:
             init += (jnp.zeros((1, 128), jnp.float32),)
         (k, halt, xr_f, xi_f, _gr, _gi, _t, _fw, _fl, _mr, _tr,
          _rr) = jax.lax.while_loop(cond, body, init)[:12]
@@ -523,7 +547,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "engine", "stop_rule",
-                     "record_fvals", "record_bts", "record_objs"))
+                     "record_fvals", "record_bts", "record_objs",
+                     "record_nres"))
 def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                window=10, tol=1e-3, shrink_factor=0.2,
                                max_backtracks=20, interpret=False,
@@ -531,7 +556,7 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                restart_dd=False, engine="vpu",
                                stop_rule="hybrid_residual",
                                record_fvals=False, record_bts=False,
-                               record_objs=False):
+                               record_objs=False, record_nres=False):
     """Whole-solve kernel for planar PhaseMax
     ``min ½Σ max(|Ax|−b,0)² − ⟨c,x⟩`` (adaptive BB or FISTA mode).
 
@@ -563,9 +588,9 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd, engine, stop_rule, record_fvals,
-                        record_bts, record_objs)
+                        record_bts, record_objs, record_nres)
     ts = jnp.asarray(tau0, jnp.float32).reshape(1, 1)
-    x, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
+    x, taus, res, fv, bts, objs, nrs, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (2,n)
@@ -582,11 +607,13 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals
             pl.BlockSpec(memory_space=pltpu.VMEM),      # bts
             pl.BlockSpec(memory_space=pltpu.VMEM),      # objs
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # nres
             pl.BlockSpec(memory_space=pltpu.SMEM),      # k
             pl.BlockSpec(memory_space=pltpu.SMEM),      # status
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
@@ -625,4 +652,6 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
         out += (bts.reshape(kpad)[:max_iters],)
     if record_objs:
         out += (objs.reshape(kpad)[:max_iters],)
+    if record_nres:
+        out += (nrs.reshape(kpad)[:max_iters],)
     return out

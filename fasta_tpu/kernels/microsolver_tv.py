@@ -35,11 +35,12 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate=False, restart=True,
                  restart_dd=False, stop_rule="hybrid_residual",
                  record_fvals=False, record_bts=False, record_objs=False,
-                 warm_sweep=False):
+                 record_nres=False, warm_sweep=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows2, dd_reduce
     from .microsolver import halt_code, stop_from_rule
-    need_nres = stop_rule in ("normalized_residual", "hybrid_residual")
+    need_nres = (stop_rule in ("normalized_residual", "hybrid_residual")
+                 or record_nres)
     # warm_sweep: explicit sequential grid over denoising strengths
     # (microsolve_tv_path) — step i>0 starts from step i-1's dual field
     # and last accepted stepsize via grid-persistent VMEM/SMEM scratch,
@@ -48,7 +49,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
 
     def kernel(b_ref, ts_ref, pv_ref, ph_ref,
                xv_ref, xh_ref, taus_ref, res_ref, fv_ref, bt_ref,
-               obj_ref, k_ref, conv_ref, *scr):
+               obj_ref, nres_ref, k_ref, conv_ref, *scr):
         if warm_sweep:
             pvprev_scr, phprev_scr, tprev_scr = scr
         b = b_ref[:]
@@ -69,6 +70,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         fv_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         bt_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
         obj_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
+        nres_ref[:] = jnp.zeros((kpad // 128, 128), jnp.float32)
 
         def record(k, tau, res, trow_c, rrow_c):
             c128 = jnp.asarray(128, jnp.int32)   # x64-safe literal
@@ -113,6 +115,16 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             orow_n = jnp.where(lane128 == lane, ov, orow_c)
             obj_ref[pl.ds(row, 1), :] = orow_n
             return orow_n
+
+        def record_nr(k, nv, nrow_c):
+            """Optional normalized-residual row (see
+            kernels/microsolver.py record_nr)."""
+            c128 = jnp.asarray(128, jnp.int32)
+            lane = jax.lax.rem(k, c128)
+            row = jax.lax.div(k, c128)
+            nrow_n = jnp.where(lane128 == lane, nv, nrow_c)
+            nres_ref[pl.ds(row, 1), :] = nrow_n
+            return nrow_n
 
         def f_plain(f):
             return prec.dd_to_float(f) if hp else f
@@ -272,12 +284,14 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             else:
                 nres = None
             stop = stop_from_rule(stop_rule, res, nres, maxres, tol)
-            return nd2, res, maxres, stop
+            return nd2, res, nres, maxres, stop
 
         if accelerate:
             def body(c):
                 if warm_sweep:
                     *c, _tacc_c = c
+                if record_nres:
+                    *c, nrow_c = c
                 if record_objs:
                     *c, orow_c = c
                 if record_bts:
@@ -307,7 +321,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 (tau, zv, zh, xv, xh, dv, dh, f1, d1, bt) = backtrack(
                     fb, first, tau, gv_c, gh_c, M)
 
-                _nd2, res, maxres, stop = resid_stop(
+                _nd2, res, nres, maxres, stop = resid_stop(
                     tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)
 
                 trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
@@ -359,6 +373,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 if record_objs:
                     # prox-point objective (g = box indicator = 0)
                     out += (record_obj(k, f_plain(f1), orow_c),)
+                if record_nres:
+                    out += (record_nr(k, nres, nrow_c),)
                 if warm_sweep:
                     # genuinely ACCEPTED stepsize only (see the dense
                     # kernel's accelerate body note)
@@ -377,6 +393,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             if record_bts:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if record_objs:
+                init += (jnp.zeros((1, 128), jnp.float32),)
+            if record_nres:
                 init += (jnp.zeros((1, 128), jnp.float32),)
             if warm_sweep:
                 init += (jnp.zeros((), jnp.float32),)
@@ -414,6 +432,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         def body(c):
             if warm_sweep:
                 *c, _tacc_c = c
+            if record_nres:
+                *c, nrow_c = c
             if record_objs:
                 *c, orow_c = c
             if record_bts:
@@ -441,7 +461,7 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
             (tau, zv, zh, xv, xh, dv, dh, f1, gv1, gh1, bt) = backtrack(
                 fb, first, tau, gv_c, gh_c, M)
 
-            nd2, res, maxres, stop = resid_stop(
+            nd2, res, nres, maxres, stop = resid_stop(
                 tau, xv, xh, zv, zh, dv, dh, gv_c, gh_c, maxres_c)
 
             trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
@@ -476,6 +496,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                 out += (record_bt(k, bt, btrow_c),)
             if record_objs:
                 out += (record_obj(k, f_plain(f1), orow_c),)
+            if record_nres:
+                out += (record_nr(k, nres, nrow_c),)
             if warm_sweep:
                 # genuinely accepted only — see the accelerate body
                 out += (jnp.where(bt < max_backtracks, tau, _tacc_c),)
@@ -491,6 +513,8 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
         if record_bts:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if record_objs:
+            init += (jnp.zeros((1, 128), jnp.float32),)
+        if record_nres:
             init += (jnp.zeros((1, 128), jnp.float32),)
         if warm_sweep:
             init += (jnp.zeros((), jnp.float32),)
@@ -518,13 +542,14 @@ def _make_kernel(h, w, max_iters, window, tol, shrink_factor,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "stop_rule",
-                     "record_fvals", "record_bts", "record_objs"))
+                     "record_fvals", "record_bts", "record_objs",
+                     "record_nres"))
 def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
                   shrink_factor=0.2, max_backtracks=20, interpret=False,
                   hp=True, accelerate=False, restart=True,
                   restart_dd=False, stop_rule="hybrid_residual",
                   record_fvals=False, record_bts=False,
-                  record_objs=False):
+                  record_objs=False, record_nres=False):
     """Whole-solve kernel for the TV dual (adaptive BB or FISTA mode).
 
     b: (H,W) noisy image; p0: (2,H,W) dual init.  Returns
@@ -576,10 +601,10 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd, stop_rule, record_fvals, record_bts,
-                        record_objs)
+                        record_objs, record_nres)
     ts = jnp.stack([jnp.asarray(tau0, jnp.float32),
                     jnp.asarray(mu, jnp.float32)]).reshape(1, 2)
-    xv, xh, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
+    xv, xh, taus, res, fv, bts, objs, nrs, k, conv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b
@@ -595,12 +620,14 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
@@ -622,6 +649,8 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
         out += (bts.reshape(kpad)[:max_iters],)
     if record_objs:
         out += (objs.reshape(kpad)[:max_iters],)
+    if record_nres:
+        out += (nrs.reshape(kpad)[:max_iters],)
     return out
 
 
@@ -630,13 +659,15 @@ def microsolve_tv(b, p0, tau0, mu, max_iters=2000, window=10, tol=1e-5,
     static_argnames=("max_iters", "window", "tol", "shrink_factor",
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "stop_rule",
-                     "record_fvals", "record_bts", "record_objs"))
+                     "record_fvals", "record_bts", "record_objs",
+                     "record_nres"))
 def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
                        tol=1e-5, shrink_factor=0.2, max_backtracks=20,
                        interpret=False, hp=True, accelerate=False,
                        restart=True, restart_dd=False,
                        stop_rule="hybrid_residual", record_fvals=False,
-                       record_bts=False, record_objs=False):
+                       record_bts=False, record_objs=False,
+                       record_nres=False):
     """WARM-STARTED denoising-strength path in ONE kernel launch: an
     explicit sequential grid over the B entries of ``mus`` where path
     point i starts from point i-1's dual field and last accepted
@@ -680,7 +711,7 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
     kern = _make_kernel(h, w, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd, stop_rule, record_fvals, record_bts,
-                        record_objs, warm_sweep=True)
+                        record_objs, record_nres, warm_sweep=True)
     ts = jnp.stack(
         [jnp.broadcast_to(jnp.asarray(tau0, jnp.float32), (B,)),
          jnp.asarray(mus, jnp.float32)], axis=-1).reshape(B, 1, 2)
@@ -697,7 +728,7 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
                               memory_space=pltpu.VMEM)
     scal_spec = pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
-    xv, xh, taus, res, fv, bts, objs, k, conv = pl.pallas_call(
+    xv, xh, taus, res, fv, bts, objs, nrs, k, conv = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -718,12 +749,14 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
             rows_spec,                                   # fvals_i
             rows_spec,                                   # bts_i
             rows_spec,                                   # objs_i
+            rows_spec,                                   # nres_i
             scal_spec,                                   # k_i
             scal_spec,                                   # status_i
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, h, w), jnp.float32),
             jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            rows_shape,
             rows_shape,
             rows_shape,
             rows_shape,
@@ -752,4 +785,6 @@ def microsolve_tv_path(b, p0, tau0, mus, max_iters=2000, window=10,
         out += (bts.reshape(B, kpad)[:, :max_iters],)
     if record_objs:
         out += (objs.reshape(B, kpad)[:, :max_iters],)
+    if record_nres:
+        out += (nrs.reshape(B, kpad)[:, :max_iters],)
     return out

@@ -46,14 +46,17 @@ _STATUS_NAMES = ("max_iters", "converged", "nonfinite")
 class MicroResult:
     """Result of a whole-solve kernel run.
 
-    Matches :class:`~fasta_tpu.solver.FastaResult`'s contract minus
-    only the normalized-residual series (and ``record_iterates`` on
-    the TV/planar kernels): the kernels record (stepsizes, residuals,
+    The DENSE kernel exports the COMPLETE
+    :class:`~fasta_tpu.solver.FastaResult` contract; the TV/planar
+    kernels lack only ``record_iterates`` (2-D per-iteration fields —
+    route to the XLA path).  The kernels record (stepsizes, residuals,
     iteration count, halt status), plus per-iteration f-values
     (``record_fvals=True``), backtrack counts (``record_bts``, on by
     default here), prox-point objectives f(x₁)+g(x₁)
     (``record_objs=True`` — g analytic per kernel family; solver.py's
-    record_objective formula), and — dense kernel —
+    record_objective formula), normalized residuals
+    (``record_nres=True`` — resid_stop's exact formula, forced on the
+    normalizer computation under any stop rule), and — dense kernel —
     ``record_iterates=True``: the full iterate trajectory, DMA'd to
     HBM in 8-row blocks inside the loop.  ``best_index`` is the
     best-objective iterate's index: argmin objectives when they were
@@ -98,6 +101,8 @@ class MicroResult:
     # full iterate trajectory (k, n) when record_iterates (dense
     # kernel only — in-loop 8-row-block DMA to HBM); None off
     iterates: Optional[np.ndarray] = None
+    # per-iteration normalized residuals when record_nres; None off
+    norm_residuals: Optional[np.ndarray] = None
 
 
 def _dispatch(problem: Problem):
@@ -192,6 +197,7 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
                stop_rule: str = "hybrid_residual",
                record_fvals: bool = False, record_bts: bool = True,
                record_objs: bool = False, record_iterates: bool = False,
+               record_nres: bool = False,
                interpret: Optional[bool] = None) -> MicroResult:
     """Solve ``problem`` entirely inside one Pallas kernel launch.
 
@@ -242,6 +248,9 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     buffer in 8-row blocks inside the loop (measured 1.07× the
     iteration on chip); TV/planar raise — use the XLA path
     (``Problem.solve(record_iterates=True)``) for those structures.
+    ``record_nres=True`` records the normalized-residual series into
+    ``MicroResult.norm_residuals`` (the last FastaResult series —
+    with it the dense kernel exports the COMPLETE contract).
 
     Raises ``ValueError`` when the problem structure has no kernel —
     this API never silently falls back; use ``Problem.solve`` for the
@@ -280,8 +289,9 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
         record_bts=record_bts, record_objs=record_objs,
-        record_iterates=record_iterates, interpret=interpret)
-    sol, taus, res, k, conv, fv, bts, objs, its = call(
+        record_iterates=record_iterates, record_nres=record_nres,
+        interpret=interpret)
+    sol, taus, res, k, conv, fv, bts, objs, its, nrs = call(
         b, x0, mu, jnp.asarray(tau0, jnp.float32))
 
     k = int(k)
@@ -308,6 +318,8 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
         best_index=(int(np.argmin(best_series)) if k > 0 else None),
         objectives=objs_h,
         iterates=(np.asarray(its)[:k] if its is not None else None),
+        norm_residuals=(np.asarray(nrs).reshape(-1)[:k]
+                        if nrs is not None else None),
     )
 
 
@@ -329,6 +341,7 @@ class MicroBatchResult:
     fvals: Optional[list] = None         # B arrays when record_fvals
     # per-instance halt status strings (see MicroResult.status)
     statuses: Optional[np.ndarray] = None
+    norm_residuals: Optional[list] = None  # B arrays when record_nres
     backtracks: Optional[list] = None    # B arrays when record_bts
     total_backtracks: Optional[np.ndarray] = None   # (B,) int
     best_indices: Optional[np.ndarray] = None       # (B,) int
@@ -346,7 +359,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
                      restart_dd: bool = False,
                      stop_rule: str = "hybrid_residual",
                      record_fvals: bool = False, record_bts: bool = True,
-                     record_objs: bool = False,
+                     record_objs: bool = False, record_nres: bool = False,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve a BATCH of instances sharing ``problem``'s operator in ONE
     kernel launch — the serving path for many-measurement workloads.
@@ -399,7 +412,7 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
         record_bts=record_bts, record_objs=record_objs,
-        interpret=interpret)
+        record_nres=record_nres, interpret=interpret)
 
     bs = jnp.asarray(bs, jnp.float32)
     if bs.ndim != b1.ndim + 1:
@@ -417,14 +430,14 @@ def microsolve_batch(problem: Problem, bs, x0s=None,
     if tau0.ndim == 1 and tau0.shape != (B,):
         raise ValueError(f"per-instance tau0 shape {tau0.shape} != "
                          f"({B},)")
-    sols, taus, res, ks, convs, fvs, bts, objs, _its = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts, objs, _its, nrs = jax.vmap(
         call, in_axes=(0, 0, None, 0 if tau0.ndim else None))(
         bs, x0s, mu1, tau0)
     return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
-                       B, t0)
+                       nrs, B, t0)
 
 
-def _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs, B, t0):
+def _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs, nrs, B, t0):
     ks_h = np.asarray(ks).reshape(B)
     taus_h = np.asarray(taus).reshape(B, -1)
     res_h = np.asarray(res).reshape(B, -1)
@@ -454,6 +467,9 @@ def _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs, B, t0):
         best_indices=np.array([int(np.argmin(r)) if r.size else -1
                                for r in best_ls]),
         objectives=objs_l,
+        norm_residuals=(None if nrs is None else [
+            np.asarray(nrs).reshape(B, -1)[i, :ks_h[i]]
+            for i in range(B)]),
     )
 
 
@@ -468,7 +484,7 @@ def microsolve_sweep(problem: Problem, mus,
                      restart_dd: bool = False,
                      stop_rule: str = "hybrid_residual",
                      record_fvals: bool = False, record_bts: bool = True,
-                     record_objs: bool = False,
+                     record_objs: bool = False, record_nres: bool = False,
                      warm_start: bool = False,
                      interpret: Optional[bool] = None) -> MicroBatchResult:
     """Solve the REGULARIZATION PATH in one kernel launch: one full
@@ -552,12 +568,14 @@ def microsolve_sweep(problem: Problem, mus,
                 hp=(True if hp is None else hp), accelerate=accelerate,
                 restart=restart, restart_dd=restart_dd,
                 stop_rule=stop_rule, record_fvals=record_fvals,
-                record_bts=record_bts, record_objs=record_objs)
+                record_bts=record_bts, record_objs=record_objs,
+                record_nres=record_nres)
             sols, taus, res, ks, convs = out[:5]
-            fvs, bts, objs = _tail_outputs(out, record_fvals,
-                                           record_bts, record_objs)
+            fvs, bts, objs, nrs = _tail_outputs(
+                out, record_fvals, record_bts, record_objs,
+                record_nres=record_nres)
             return _pack_batch(sols, taus, res, ks, convs, fvs, bts,
-                               objs, B, t0)
+                               objs, nrs, B, t0)
         from .kernels.microsolver import microsolve_lasso_path
         loss, prox, _mu0 = detail
         A = jnp.asarray(problem.op.A, jnp.float32)
@@ -575,12 +593,14 @@ def microsolve_sweep(problem: Problem, mus,
             loss=loss, hp=bool(hp), accelerate=accelerate,
             restart=restart, restart_dd=restart_dd,
             stop_rule=stop_rule, record_fvals=record_fvals,
-            record_bts=record_bts, record_objs=record_objs)
+            record_bts=record_bts, record_objs=record_objs,
+            record_nres=record_nres)
         sols, taus, res, ks, convs = out[:5]
-        fvs, bts, objs = _tail_outputs(out, record_fvals, record_bts,
-                                       record_objs)
+        fvs, bts, objs, nrs = _tail_outputs(
+            out, record_fvals, record_bts, record_objs,
+            record_nres=record_nres)
         return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
-                           B, t0)
+                           nrs, B, t0)
 
     t0 = time.perf_counter()
     call, b1, x01, _mu1 = _kernel_call(
@@ -590,21 +610,24 @@ def microsolve_sweep(problem: Problem, mus,
         accelerate=accelerate, restart=restart, restart_dd=restart_dd,
         stop_rule=stop_rule, record_fvals=record_fvals,
         record_bts=record_bts, record_objs=record_objs,
-        interpret=interpret)
+        record_nres=record_nres, interpret=interpret)
 
-    sols, taus, res, ks, convs, fvs, bts, objs, _its = jax.vmap(
+    sols, taus, res, ks, convs, fvs, bts, objs, _its, nrs = jax.vmap(
         call, in_axes=(None, None, 0, None))(
         b1, x01, mus, jnp.asarray(tau0, jnp.float32))
     return _pack_batch(sols, taus, res, ks, convs, fvs, bts, objs,
-                       B, t0)
+                       nrs, B, t0)
 
 
-def _tail_outputs(out, record_fvals, record_bts, record_objs=False):
-    """(fvals, bts, objs) from a kernel wrapper's optional trailing
-    outputs (fvals first, then bts, then objs — the kernels' append
-    order)."""
+def _tail_outputs(out, record_fvals, record_bts, record_objs=False,
+                  record_its=False, record_nres=False):
+    """(fvals, bts, objs[, its], nres) from a kernel wrapper's optional
+    trailing outputs — the kernels' append order is fvals, bts, objs,
+    iterates (dense single-solve only), nres.  Returns a 4-tuple
+    (fvals, bts, objs, nres) unless ``record_its`` is requested, in
+    which case a 5-tuple with iterates fourth."""
     i = 5
-    fvs = bts = objs = None
+    fvs = bts = objs = its = nrs = None
     if record_fvals:
         fvs = out[i]
         i += 1
@@ -613,7 +636,15 @@ def _tail_outputs(out, record_fvals, record_bts, record_objs=False):
         i += 1
     if record_objs:
         objs = out[i]
-    return fvs, bts, objs
+        i += 1
+    if record_its:
+        its = out[i]
+        i += 1
+    if record_nres:
+        nrs = out[i]
+    if record_its:
+        return fvs, bts, objs, its, nrs
+    return fvs, bts, objs, nrs
 
 
 def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
@@ -621,10 +652,11 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                  restart, restart_dd, interpret,
                  stop_rule="hybrid_residual", record_fvals=False,
                  record_bts=False, record_objs=False,
-                 record_iterates=False):
+                 record_iterates=False, record_nres=False):
     """Build ``(call, b, x0, mu)``: a ``call(b, x0, mu) -> (solution,
     taus, residuals, k, status, fvals-or-None, bts-or-None,
-    objs-or-None, iterates-or-None)`` closure over the problem's STATIC
+    objs-or-None, iterates-or-None, nres-or-None)`` closure over the
+    problem's STATIC
     data (operator matrices, anchors, kernel options) plus the
     instance's batchable leaves (measurements/labels b, start x0, and —
     dense/TV — the penalty weight μ, a runtime SMEM scalar in the
@@ -647,10 +679,12 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, engine=engine or "vpu",
                 stop_rule=stop_rule, record_fvals=record_fvals,
-                record_bts=record_bts, record_objs=record_objs)
-            return out[:5] + _tail_outputs(out, record_fvals,
-                                           record_bts, record_objs) \
-                + (None,)
+                record_bts=record_bts, record_objs=record_objs,
+                record_nres=record_nres)
+            fvs_, bts_, objs_, nrs_ = _tail_outputs(
+                out, record_fvals, record_bts, record_objs,
+                record_nres=record_nres)
+            return out[:5] + (fvs_, bts_, objs_, None, nrs_)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         mu = 0.0                    # PhaseMax has no penalty weight
@@ -672,10 +706,11 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 hp=hp_tv, accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, stop_rule=stop_rule,
                 record_fvals=record_fvals, record_bts=record_bts,
-                record_objs=record_objs)
-            return out[:5] + _tail_outputs(out, record_fvals,
-                                           record_bts, record_objs) \
-                + (None,)
+                record_objs=record_objs, record_nres=record_nres)
+            fvs_, bts_, objs_, nrs_ = _tail_outputs(
+                out, record_fvals, record_bts, record_objs,
+                record_nres=record_nres)
+            return out[:5] + (fvs_, bts_, objs_, None, nrs_)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
     else:
@@ -693,12 +728,20 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 hp=bool(hp), accelerate=accelerate, restart=restart,
                 restart_dd=restart_dd, stop_rule=stop_rule,
                 record_fvals=record_fvals, record_bts=record_bts,
-                record_objs=record_objs, record_its=record_iterates)
+                record_objs=record_objs, record_its=record_iterates,
+                record_nres=record_nres)
             x, taus, res, k, conv = out[:5]
-            fv, bts, objs = _tail_outputs(out, record_fvals,
-                                          record_bts, record_objs)
-            its = out[-1] if record_iterates else None
-            return x.reshape(-1), taus, res, k, conv, fv, bts, objs, its
+            if record_iterates:
+                fv, bts, objs, its, nrs = _tail_outputs(
+                    out, record_fvals, record_bts, record_objs,
+                    record_its=True, record_nres=record_nres)
+            else:
+                fv, bts, objs, nrs = _tail_outputs(
+                    out, record_fvals, record_bts, record_objs,
+                    record_nres=record_nres)
+                its = None
+            return (x.reshape(-1), taus, res, k, conv, fv, bts, objs,
+                    its, nrs)
 
         data = (problem.fterm.y if isinstance(problem.fterm, SquaredHinge)
                 else problem.fterm.b)

@@ -222,6 +222,63 @@ def test_objectives_planar_prefix():
                                rtol=2e-3, atol=1e-4)
 
 
+def test_norm_residuals_match_xla():
+    """record_nres series == the XLA recorder's norm_residuals on a
+    matching trajectory — closing the LAST FastaResult series; with it
+    the dense kernel exports the complete contract."""
+    prob = _lasso()
+    prob.tau0 = 0.05
+    rm = prob.microsolve(max_iters=100, tol=1e-6, interpret=True,
+                         hp=False, record_nres=True)
+    rx = prob.solve(tol=1e-6, max_iters=100, fuse=False,
+                    precision="standard")
+    assert rm.iteration_count == rx.iteration_count
+    k = rm.iteration_count
+    # atol covers the near-converged tail, where nres ~1e-5 and the
+    # in-kernel vs XLA reduction orders differ at f32 eps level
+    np.testing.assert_allclose(rm.norm_residuals,
+                               np.asarray(rx.norm_residuals)[:k],
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_norm_residuals_tv_planar_prefix():
+    """TV and planar kernels record the same series (fixed-prefix
+    comparison vs the XLA recorder)."""
+    tvp = problems.build("tv", h=32, w=32, dtype=jnp.float32)
+    tvp.tau0 = 2.0
+    K = 15
+    rm = tvp.microsolve(max_iters=K, tol=0.0, stop_rule="iterations",
+                        interpret=True, record_nres=True)
+    rx = tvp.solve(tol=1e-12, max_iters=K, fuse=False,
+                   stop_rule="iterations", precision="auto")
+    np.testing.assert_allclose(rm.norm_residuals[:K],
+                               np.asarray(rx.norm_residuals)[:K],
+                               rtol=1e-3)
+    pr = problems.build("phase_retrieval", m=256, n=32, planar=True,
+                        dtype=jnp.float32)
+    pr.tau0 = 1.0
+    K = 10
+    rm = pr.microsolve(max_iters=K, tol=0.0, stop_rule="iterations",
+                       interpret=True, record_nres=True)
+    rx = pr.solve(tol=1e-12, max_iters=K, fuse=False,
+                  stop_rule="iterations", precision="standard")
+    np.testing.assert_allclose(rm.norm_residuals[:K],
+                               np.asarray(rx.norm_residuals)[:K],
+                               rtol=5e-3)
+
+
+def test_nres_with_non_nres_stop_rule():
+    """record_nres forces the normalizer computation even under a stop
+    rule that does not read it (residual)."""
+    prob = _lasso()
+    r = prob.microsolve(tau0=0.05, max_iters=100, tol=1e-6,
+                        stop_rule="residual", interpret=True,
+                        record_nres=True)
+    assert r.norm_residuals is not None
+    assert r.norm_residuals.shape == (r.iteration_count,)
+    assert np.all(r.norm_residuals > 0)
+
+
 def test_record_iterates_matches_xla():
     """Dense-kernel record_iterates (in-loop 8-row-block HBM DMA) ==
     the XLA recorder's iterate trajectory on a matching trajectory;
