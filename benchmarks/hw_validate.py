@@ -577,6 +577,23 @@ np.testing.assert_allclose(
 np.testing.assert_array_equal(r12d.iterates[-1],
                               np.asarray(r12d.solution))
 
+# planar record_iterates (both channels side-by-side in the DMA
+# block) at the flagship shape
+ppr12 = problems.build("phase_retrieval", planar=True,
+                       dtype=jnp.float32)
+ppr12.tau0 = 1.0
+r12e = microsolve(ppr12, max_iters=200, tol=1e-5, hp=True,
+                  record_iterates=True)
+assert r12e.status == "converged"
+np.testing.assert_array_equal(r12e.iterates[-1],
+                              np.asarray(r12e.solution))
+rx12e = ppr12.solve(tol=1e-5, max_iters=200, fuse=False,
+                    precision="auto", record_iterates=True)
+kk12 = min(r12e.iteration_count, rx12e.iteration_count, 12)
+np.testing.assert_allclose(r12e.iterates[:kk12],
+                           np.asarray(rx12e.iterates)[:kk12],
+                           atol=5e-4)
+
 # a poisoned instance inside a batch must not disturb its neighbors
 rb12b = microsolve_batch(
     pb, jnp.stack([b10, b10, b10]),
@@ -591,10 +608,11 @@ print(f"[12b] round-5 features HW: NaN-tau0 solve aborts in "
       f"row matches the XLA recorder ({int(r12c.backtracks.sum())} "
       f"trials over {r12c.iteration_count} iters); objective + "
       f"normalized-residual rows match the XLA recorder (rtol "
-      f"1e-4/1e-3); record_iterates trajectory matches the XLA "
-      f"recorder "
-      f"({r12d.iterates.shape[0]}x{r12d.iterates.shape[1]} via "
-      f"8-row-block HBM DMA); poisoned batch lane isolated "
+      f"1e-4/1e-3); record_iterates trajectories match the XLA "
+      f"recorder (dense {r12d.iterates.shape[0]}x"
+      f"{r12d.iterates.shape[1]}, planar {r12e.iterates.shape[0]}x"
+      f"{r12e.iterates.shape[1]}x2, via 8-row-block HBM DMA); "
+      f"poisoned batch lane isolated "
       f"(statuses {list(rb12b.statuses)})")
 
 # ---- 13. full-solve STREAMING rows (512 MB, current session) --------------

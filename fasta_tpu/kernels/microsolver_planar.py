@@ -68,7 +68,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                  max_backtracks, kpad, hp, accelerate, restart,
                  restart_dd, engine, stop_rule="hybrid_residual",
                  record_fvals=False, record_bts=False,
-                 record_objs=False, record_nres=False):
+                 record_objs=False, record_nres=False,
+                 record_its=False):
     from .. import precision as prec
     from .ddreduce import dd_dot_rows2
     from .microsolver import halt_code, stop_from_rule
@@ -113,8 +114,53 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
 
     def kernel(x0_ref, b_ref, c_ref, ts_ref, Ar_ref, Ai_ref,
                x_ref, taus_ref, res_ref, fv_ref, bt_ref, obj_ref,
-               nres_ref, k_ref, conv_ref,
-               dscr_r, dscr_i, yscr_r, yscr_i, pscr_r, pscr_i):
+               nres_ref, *rest):
+        rest = list(rest)
+        # optional HBM iterate-trajectory output precedes the SMEM
+        # scalars; its staging scratch + DMA semaphore trail the six
+        # fixed matvec scratches
+        its_ref = rest.pop(0) if record_its else None
+        k_ref = rest.pop(0)
+        conv_ref = rest.pop(0)
+        dscr_r, dscr_i, yscr_r, yscr_i, pscr_r, pscr_i = rest[:6]
+        if record_its:
+            xstage, dma_sem = rest[6:]
+
+        npad_it = ((n + 127) // 128) * 128
+
+        def record_it(k, x1r, x1i):
+            """record_iterates analog for the planar channels: both
+            channel rows staged side-by-side at sublane k%8 of an
+            (8, 2*npad) VMEM buffer (each half 128-lane aligned) and
+            DMA'd to the HBM trajectory buffer as full 8-row blocks —
+            the dense kernel's tile-alignment pattern
+            (kernels/microsolver.py record_it)."""
+            c8 = jnp.asarray(8, jnp.int32)
+            lane8 = jax.lax.rem(k, c8)
+            if npad_it != n:
+                z = jnp.zeros((1, npad_it - n), jnp.float32)
+                x1r = jnp.concatenate([x1r, z], axis=1)
+                x1i = jnp.concatenate([x1i, z], axis=1)
+            xstage[pl.ds(lane8, 1), 0:npad_it] = x1r
+            xstage[pl.ds(lane8, 1), npad_it:2 * npad_it] = x1i
+
+            @pl.when(lane8 == 7)
+            def _flush_full():
+                blk = jax.lax.div(k, c8) * 8   # provably 8-divisible
+                cp = pltpu.make_async_copy(
+                    xstage, its_ref.at[pl.ds(blk, 8), :], dma_sem)
+                cp.start()
+                cp.wait()
+
+        def flush_its(k):
+            """Epilogue flush of the final partial block (see the
+            dense kernel's flush_its)."""
+            c8 = jnp.asarray(8, jnp.int32)
+            blk = jax.lax.div(jnp.maximum(k - 1, 0), c8) * 8
+            cp = pltpu.make_async_copy(
+                xstage, its_ref.at[pl.ds(blk, 8), :], dma_sem)
+            cp.start()
+            cp.wait()
         b = b_ref[:]                      # (1, m) magnitudes
         c = c_ref[:]                      # (2, n) anchor channels
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _WPAD), 1)
@@ -378,6 +424,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                     tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c,
                     maxres_c)
                 trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
+                if record_its:
+                    record_it(k, x1r, x1i)
 
                 if hp and restart_dd:
                     rdot = prec.dd_to_float(dd_dot2(
@@ -447,6 +495,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             x_ref[1:2] = xi_out
             k_ref[0, 0] = k
             conv_ref[0, 0] = halt
+            if record_its:
+                flush_its(k)
             return
 
         def body(cy):
@@ -483,6 +533,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
             nd2, res, nres, maxres, stop = resid_stop(
                 tau, x1r, x1i, zr, zi, dxr, dxi, gr_c, gi_c, maxres_c)
             trow_n, rrow_n = record(k, tau, res, trow_c, rrow_c)
+            if record_its:
+                record_it(k, x1r, x1i)
             fwin_n = jnp.where(lane_w == (k + 1) % window, f_hi(f1),
                                fwin_c)
             fwlo_n = (jnp.where(lane_w == (k + 1) % window, f1.lo,
@@ -538,6 +590,8 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
         x_ref[1:2] = xi_f
         k_ref[0, 0] = k
         conv_ref[0, 0] = halt
+        if record_its:
+            flush_its(k)
 
     return kernel
 
@@ -548,7 +602,7 @@ def _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                      "max_backtracks", "interpret", "hp", "accelerate",
                      "restart", "restart_dd", "engine", "stop_rule",
                      "record_fvals", "record_bts", "record_objs",
-                     "record_nres"))
+                     "record_nres", "record_its"))
 def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                window=10, tol=1e-3, shrink_factor=0.2,
                                max_backtracks=20, interpret=False,
@@ -556,7 +610,8 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                                restart_dd=False, engine="vpu",
                                stop_rule="hybrid_residual",
                                record_fvals=False, record_bts=False,
-                               record_objs=False, record_nres=False):
+                               record_objs=False, record_nres=False,
+                               record_its=False):
     """Whole-solve kernel for planar PhaseMax
     ``min ½Σ max(|Ax|−b,0)² − ⟨c,x⟩`` (adaptive BB or FISTA mode).
 
@@ -588,9 +643,30 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
     kern = _make_kernel(m, n, max_iters, window, tol, shrink_factor,
                         max_backtracks, kpad, hp, accelerate, restart,
                         restart_dd, engine, stop_rule, record_fvals,
-                        record_bts, record_objs, record_nres)
+                        record_bts, record_objs, record_nres,
+                        record_its)
     ts = jnp.asarray(tau0, jnp.float32).reshape(1, 1)
-    x, taus, res, fv, bts, objs, nrs, k, conv = pl.pallas_call(
+    rows = jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_specs = [vspec, vspec, vspec, vspec, vspec, vspec, vspec]
+    out_shape = [jax.ShapeDtypeStruct((2, n), jnp.float32),
+                 rows, rows, rows, rows, rows, rows]
+    npad_it = ((n + 127) // 128) * 128
+    kitpad = max(((max_iters + 7) // 8) * 8, 8)
+    its_scratch = []
+    if record_its:
+        # HBM iterate trajectory, both channels side-by-side (see the
+        # kernel's record_it)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((kitpad, 2 * npad_it), jnp.float32))
+        its_scratch = [pltpu.VMEM((8, 2 * npad_it), jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
+    out_specs += [sspec, sspec]
+    out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+    res_all = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x0 (2,n)
@@ -600,28 +676,8 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # Arᵀ (n,m)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # Aiᵀ (n,m)
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # x (2,n)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # taus
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # res
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # fvals
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # bts
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # objs
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # nres
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # k
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # status
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((2, n), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((kpad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, m), jnp.float32),    # dr assembly row
             pltpu.VMEM((1, m), jnp.float32),    # di assembly row
@@ -631,7 +687,7 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
                        jnp.float32),            # adj gr chunk partials
             pltpu.VMEM((max(m // (_row_chunk(m) or m), 1), n),
                        jnp.float32),            # adj gi chunk partials
-        ],
+        ] + its_scratch,
         compiler_params=pltpu.CompilerParams(
             # both channel windows pinned once + chunked-matvec
             # temporaries (~2 MB live) + headroom for modest spills.
@@ -644,6 +700,9 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
         # passes per launch, amortized over the whole solve
     )(x0.T.reshape(2, n), b.reshape(1, m), c.T.reshape(2, n), ts,
       Ar.T, Ai.T)
+    x, taus, res, fv, bts, objs, nrs = res_all[:7]
+    its = res_all[7] if record_its else None
+    k, conv = res_all[-2], res_all[-1]
     out = (x.T, taus.reshape(kpad)[:max_iters],
            res.reshape(kpad)[:max_iters], k[0, 0], conv[0, 0])
     if record_fvals:
@@ -652,6 +711,12 @@ def microsolve_planar_phasemax(Ar, Ai, b, c, x0, tau0, max_iters=1000,
         out += (bts.reshape(kpad)[:max_iters],)
     if record_objs:
         out += (objs.reshape(kpad)[:max_iters],)
+    if record_its:
+        # (kitpad, 2*npad) -> (max_iters, n, 2) matching the planar
+        # solution convention
+        out += (jnp.stack([its[:max_iters, :n],
+                           its[:max_iters, npad_it:npad_it + n]],
+                          axis=-1),)
     if record_nres:
         out += (nrs.reshape(kpad)[:max_iters],)
     return out

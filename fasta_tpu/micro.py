@@ -46,10 +46,10 @@ _STATUS_NAMES = ("max_iters", "converged", "nonfinite")
 class MicroResult:
     """Result of a whole-solve kernel run.
 
-    The DENSE kernel exports the COMPLETE
-    :class:`~fasta_tpu.solver.FastaResult` contract; the TV/planar
-    kernels lack only ``record_iterates`` (2-D per-iteration fields —
-    route to the XLA path).  The kernels record (stepsizes, residuals,
+    The DENSE and PLANAR kernels export the COMPLETE
+    :class:`~fasta_tpu.solver.FastaResult` contract; the TV kernel
+    lacks only ``record_iterates`` (its per-iteration state is a 2-D
+    dual field — a 512² trajectory is ~4 GB; route to the XLA path).  The kernels record (stepsizes, residuals,
     iteration count, halt status), plus per-iteration f-values
     (``record_fvals=True``), backtrack counts (``record_bts``, on by
     default here), prox-point objectives f(x₁)+g(x₁)
@@ -98,8 +98,8 @@ class MicroResult:
     best_index: Optional[int] = None
     # per-iteration prox-point objectives when record_objs; None off
     objectives: Optional[np.ndarray] = None
-    # full iterate trajectory (k, n) when record_iterates (dense
-    # kernel only — in-loop 8-row-block DMA to HBM); None off
+    # full iterate trajectory when record_iterates (dense: (k, n);
+    # planar: (k, n, 2) — in-loop 8-row-block DMA to HBM); None off
     iterates: Optional[np.ndarray] = None
     # per-iteration normalized residuals when record_nres; None off
     norm_residuals: Optional[np.ndarray] = None
@@ -243,11 +243,12 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     record_objective formula; g analytic per kernel family — μ‖x‖₁,
     indicators, (λ/2)‖x‖², −⟨c,x⟩) and switches ``best_index`` to
     argmin-objective (the XLA new_obj rule).  ``record_iterates=True``
-    (DENSE kernel only) records the full iterate trajectory into
-    ``MicroResult.iterates`` — each accepted x₁ is DMA'd to an HBM
-    buffer in 8-row blocks inside the loop (measured 1.07× the
-    iteration on chip); TV/planar raise — use the XLA path
-    (``Problem.solve(record_iterates=True)``) for those structures.
+    (dense and planar kernels) records the full iterate trajectory
+    into ``MicroResult.iterates`` — each accepted x₁ is DMA'd to an
+    HBM buffer in 8-row blocks inside the loop (measured 1.07× the
+    dense iteration on chip; planar stages both channels
+    side-by-side); TV raises — use the XLA path
+    (``Problem.solve(record_iterates=True)``).
     ``record_nres=True`` records the normalized-residual series into
     ``MicroResult.norm_residuals`` (the last FastaResult series —
     with it the dense kernel exports the COMPLETE contract).
@@ -259,12 +260,13 @@ def microsolve(problem: Problem, tau0: Optional[float] = None,
     kind, detail = _dispatch(problem)
     if kind is None:
         raise ValueError(f"microsolve: {detail}")
-    if record_iterates and kind != "dense":
+    if record_iterates and kind == "tv":
         raise ValueError(
-            f"microsolve: record_iterates is implemented for the dense "
-            f"kernel only (the {kind} kernel's per-iteration state is "
-            f"a 2-D field; use Problem.solve(record_iterates=True) — "
-            f"the XLA path records it for every structure)")
+            "microsolve: record_iterates is implemented for the dense "
+            "and planar kernels (the TV kernel's per-iteration state "
+            "is a 2-D dual field — a 512x512 trajectory is ~4 GB; use "
+            "Problem.solve(record_iterates=True) — the XLA path "
+            "records it for every structure)")
 
     if tau0 is None:
         tau0 = problem.tau0
@@ -680,11 +682,17 @@ def _kernel_call(kind, detail, problem, tau0, *, max_iters, window, tol,
                 restart_dd=restart_dd, engine=engine or "vpu",
                 stop_rule=stop_rule, record_fvals=record_fvals,
                 record_bts=record_bts, record_objs=record_objs,
-                record_nres=record_nres)
-            fvs_, bts_, objs_, nrs_ = _tail_outputs(
-                out, record_fvals, record_bts, record_objs,
-                record_nres=record_nres)
-            return out[:5] + (fvs_, bts_, objs_, None, nrs_)
+                record_nres=record_nres, record_its=record_iterates)
+            if record_iterates:
+                fvs_, bts_, objs_, its_, nrs_ = _tail_outputs(
+                    out, record_fvals, record_bts, record_objs,
+                    record_its=True, record_nres=record_nres)
+            else:
+                fvs_, bts_, objs_, nrs_ = _tail_outputs(
+                    out, record_fvals, record_bts, record_objs,
+                    record_nres=record_nres)
+                its_ = None
+            return out[:5] + (fvs_, bts_, objs_, its_, nrs_)
 
         b = jnp.asarray(problem.fterm.b, jnp.float32)
         mu = 0.0                    # PhaseMax has no penalty weight

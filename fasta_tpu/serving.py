@@ -24,10 +24,11 @@ The measured regimes (v5e, readback-barrier-subtracted; PERF.md):
   exactly what hurts the large-image batch.
 * **Out-of-scope structure, f64, or full diagnostics** → the XLA loop
   (single) / vmapped batch solver (batched).  The microsolvers cover a
-  fixed set of VMEM-resident f32 structures; the dense kernel exports
-  the COMPLETE FastaResult contract (taus, residuals, backtracks,
-  status, fvals, objectives, norm_residuals, iterates — each opt-in),
-  the TV/planar kernels everything but record_iterates.
+  fixed set of VMEM-resident f32 structures; the dense and planar
+  kernels export the COMPLETE FastaResult contract (taus, residuals,
+  backtracks, status, fvals, objectives, norm_residuals, iterates —
+  each opt-in), the TV kernel everything but record_iterates (a 512²
+  dual trajectory is ~4 GB).
 
 The size crossover between the two batch paths is bracketed by NINE
 measured configs (benchmarks/serving_r5.log, live 2026-08-20,
@@ -147,8 +148,8 @@ def recommend_path(problem: Problem, batch_size: int = 1, *,
     ``batch_size`` (the module docstring is the measured regime map).
 
     Static metadata decision — no compilation, no device work.
-    ``need_full_diagnostics`` forces the XLA paths (only the TV/planar
-    kernels lack anything — record_iterates; the dense kernel exports
+    ``need_full_diagnostics`` forces the XLA paths (only the TV
+    kernel lacks anything — record_iterates; dense and planar export
     the complete contract; micro.py).
     """
     if batch_size < 1:
@@ -158,7 +159,7 @@ def recommend_path(problem: Problem, batch_size: int = 1, *,
     f32 = dtype in (jnp.float32, jnp.complex64)
 
     if need_full_diagnostics or not supported or not f32:
-        cause = ("full diagnostics requested (TV/planar kernels lack "
+        cause = ("full diagnostics requested (the TV kernel lacks "
                  "record_iterates)" if need_full_diagnostics
                  else (f"no whole-solve kernel: {why}" if not supported
                        else f"{np.dtype(dtype).name} solve (kernels are "

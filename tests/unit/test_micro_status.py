@@ -300,14 +300,27 @@ def test_record_iterates_matches_xla():
                                   np.asarray(rm.solution))
 
 
-def test_record_iterates_rejected_for_tv_and_planar():
+def test_record_iterates_rejected_for_tv():
     tvp = problems.build("tv", h=24, w=24, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="dense kernel only"):
+    with pytest.raises(ValueError, match="dense and planar"):
         tvp.microsolve(tau0=2.0, record_iterates=True, interpret=True)
+
+
+def test_record_iterates_planar_matches_xla():
+    """Planar-kernel record_iterates (both channels staged
+    side-by-side, 8-row-block HBM DMA) == the XLA recorder."""
     pr = problems.build("phase_retrieval", m=256, n=32, planar=True,
                         dtype=jnp.float32)
-    with pytest.raises(ValueError, match="dense kernel only"):
-        pr.microsolve(tau0=1.0, record_iterates=True, interpret=True)
+    pr.tau0 = 1.0
+    K = 12
+    rm = pr.microsolve(max_iters=K, tol=0.0, stop_rule="iterations",
+                       interpret=True, record_iterates=True)
+    rx = pr.solve(tol=1e-12, max_iters=K, fuse=False,
+                  stop_rule="iterations", precision="standard",
+                  record_iterates=True)
+    assert rm.iterates.shape == (K, 32, 2)
+    np.testing.assert_allclose(rm.iterates,
+                               np.asarray(rx.iterates)[:K], atol=5e-4)
 
 
 def test_batch_backtracks_match_singles():
