@@ -9,11 +9,13 @@ burned max_iters and returned converged=False with no cause.  Now
 (kernels/microsolver.halt_code) and the status surfaces as
 MicroResult.status = "nonfinite" after an EARLY exit.
 
-C5 fields: per-iteration backtrack counts (record_bts, a fourth O(1)
-accumulator row) match the XLA recorder's backtracks; best_index is the
-argmin-residual iterate (the XLA/oracle best-iterate rule with
-record_objective=False).  With these, MicroResult matches FastaResult's
-contract minus only record_iterates and the objective series.
+C5 fields: per-iteration backtrack counts (record_bts), prox-point
+objectives (record_objs, g analytic per kernel family), normalized
+residuals (record_nres), the full iterate trajectory (record_iterates,
+dense + planar — in-loop 8-row-block HBM DMA), and best_index (the
+XLA/oracle best-iterate rule).  With these the dense and planar
+kernels export the COMPLETE FastaResult contract; the TV kernel lacks
+only record_iterates (a 512² dual trajectory is ~4 GB).
 """
 
 import math
