@@ -325,6 +325,31 @@ def test_record_iterates_planar_matches_xla():
                                np.asarray(rx.iterates)[:K], atol=5e-4)
 
 
+def test_all_recording_flags_together():
+    """Every optional recording flag at once — pins the optional-output
+    append/parse order (fvals, bts, objs, iterates, nres) across the
+    kernel wrappers and micro.py's closures."""
+    prob = _lasso()
+    r = prob.microsolve(tau0=0.05, max_iters=100, tol=1e-6,
+                        interpret=True, record_fvals=True,
+                        record_bts=True, record_objs=True,
+                        record_iterates=True, record_nres=True)
+    k = r.iteration_count
+    assert r.fvals.shape == (k,) and r.backtracks.shape == (k,)
+    assert r.objectives.shape == (k,) and r.norm_residuals.shape == (k,)
+    assert r.iterates.shape == (k, 400)
+    np.testing.assert_array_equal(r.iterates[-1], np.asarray(r.solution))
+    pr = problems.build("phase_retrieval", m=256, n=32, planar=True,
+                        dtype=jnp.float32)
+    r2 = pr.microsolve(tau0=1.0, max_iters=50, tol=1e-5, interpret=True,
+                       record_fvals=True, record_bts=True,
+                       record_objs=True, record_iterates=True,
+                       record_nres=True)
+    k2 = r2.iteration_count
+    assert r2.iterates.shape == (k2, 32, 2)
+    assert r2.norm_residuals.shape == (k2,)
+
+
 def test_batch_backtracks_match_singles():
     prob = _lasso(m=120, n=200, k=10)
     inst = prob.instance
